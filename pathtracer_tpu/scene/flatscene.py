@@ -1,0 +1,306 @@
+"""FlatScene: the device-resident SoA scene.
+
+TPU-native replacement for the reference's `DevScene` pointer graph
+(reference: src/scene.h:28-52, src/scene.cpp:569-663).  Instead of ~12
+cudaMemcpys into nested device pointers, the whole scene is one pytree of
+packed jnp arrays moved to HBM in a single `device_put`, laid out for
+row-gather efficiency:
+
+- triangles: one (T, 32) float32 table (v0 v1 v2 | n0 n1 n2 | uv0 uv1 uv2 |
+  tangent bitangent | pad) + (T,) geom index — a leaf hit is ONE row gather
+- BVH nodes: (D*N, 8) float32 [bmin bmax pad] + (D*N, 4) int32
+  [start end hit miss] — one traversal step is two row gathers
+- materials: (M, 8) float32 + (M, 8) int32 tables
+- all textures packed in a single (P, 3) atlas + (Ntex, 3) [offset w h] table
+  (mirroring dev_texture_data/devTexObj, reference: src/scene.cpp:574-597)
+
+Build-time work replicated from Scene::setDevData (reference:
+src/scene.cpp:479-563): world-space triangle baking with per-triangle
+tangent/bitangent from UVs, light-primitive gathering (geom lights first,
+then per-triangle emissive lights in post-BVH order), and the env-map
+luminance·sin(θ) distribution (which we extend to a true 2D CDF for optional
+importance sampling — the reference builds a 1D CDF it never samples,
+reference: src/scene.cpp:514-529, README.md:25-27).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pathtracer_tpu.accel.bvh import FlatBVH, build_bvh
+from pathtracer_tpu.scene.parser import LIGHT, OBJ, SceneData
+
+TRI_ROW = 32  # packed triangle row width
+
+
+class FlatScene(NamedTuple):
+    """Traced pytree of device arrays (dynamic data only)."""
+
+    # geoms (padded to >=1)
+    geom_type: jnp.ndarray        # (G,) int32: 0 sphere, 1 cube, 2 obj
+    geom_mat: jnp.ndarray         # (G,) int32
+    geom_transform: jnp.ndarray   # (G, 4, 4) float32
+    geom_inv: jnp.ndarray         # (G, 4, 4)
+    geom_invt: jnp.ndarray        # (G, 4, 4)
+    # triangles
+    tri_data: jnp.ndarray         # (T, 32) float32
+    tri_geom: jnp.ndarray         # (T,) int32
+    # BVH
+    bvh_f32: jnp.ndarray          # (D*N, 8) float32: bmin(3) bmax(3) pad(2)
+    bvh_i32: jnp.ndarray          # (D*N, 4) int32: start end hit miss
+    # materials
+    mat_f32: jnp.ndarray          # (M, 8): albedo(3) roughness metallic ior pad(2)
+    mat_i32: jnp.ndarray          # (M, 8): type atex mtex rtex ntex pad(3)
+    # textures
+    atlas: jnp.ndarray            # (P, 3) float32
+    tex_table: jnp.ndarray        # (Ntex, 3) int32: offset width height
+    # lights
+    light_geom: jnp.ndarray       # (L,) int32
+    light_tri: jnp.ndarray        # (L,) int32  (-1 for analytic geoms)
+    light_type: jnp.ndarray       # (L,) int32
+    # environment importance CDFs (all-zero when unused)
+    env_marginal_cdf: jnp.ndarray     # (H+1,) float32
+    env_conditional_cdf: jnp.ndarray  # (H, W+1) float32
+
+
+@dataclass(frozen=True)
+class SceneStatic:
+    """Hashable compile-time facts about the scene (jit static arg)."""
+
+    num_geoms: int
+    num_tris: int
+    num_bvh_nodes: int
+    num_bvh_trees: int
+    num_lights: int
+    num_materials: int
+    env_map_id: int       # -1 = no environment map
+    has_textures: bool
+    width: int
+    height: int
+    trace_depth: int
+    iterations: int
+    image_name: str
+
+
+def _pack_triangles(
+    scene: SceneData,
+) -> tuple[np.ndarray, np.ndarray]:
+    """World-space bake + TBN (reference: src/scene.cpp:481-512)."""
+    rows = []
+    geom_ids = []
+    for gi, g in enumerate(scene.geoms):
+        if g.type != OBJ or g.mesh_key is None:
+            continue
+        mesh = scene.meshes[g.mesh_key]
+        v = mesh["positions"]           # (T,3,3) object space
+        n = mesh["normals"]
+        uv = mesh["uvs"]
+        T = v.shape[0]
+        if T == 0:
+            continue
+        m = g.transform.astype(np.float64)
+        it = g.inv_transpose.astype(np.float64)
+        vw = np.einsum("ij,tcj->tci", m[:3, :3], v.astype(np.float64)) + m[:3, 3]
+        nw = np.einsum("ij,tcj->tci", it[:3, :3], n.astype(np.float64))
+        nlen = np.linalg.norm(nw, axis=-1, keepdims=True)
+        nw = np.where(nlen > 0, nw / np.maximum(nlen, 1e-38), nw)
+
+        e1 = vw[:, 1] - vw[:, 0]
+        e2 = vw[:, 2] - vw[:, 0]
+        duv1 = uv[:, 1] - uv[:, 0]
+        duv2 = uv[:, 2] - uv[:, 0]
+        f = duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1]
+        ok = np.abs(f) >= 1e-8
+        fsafe = np.where(ok, f, 1.0)
+        tan = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) / fsafe[:, None]
+        bit = (-duv2[:, 0:1] * e1 + duv1[:, 0:1] * e2) / fsafe[:, None]
+
+        def _norm(x):
+            ln = np.linalg.norm(x, axis=-1, keepdims=True)
+            return np.where(ln > 0, x / np.maximum(ln, 1e-38), x)
+
+        tan = np.where(ok[:, None], _norm(tan), 0.0)
+        bit = np.where(ok[:, None], _norm(bit), 0.0)
+
+        row = np.zeros((T, TRI_ROW), np.float32)
+        row[:, 0:9] = vw.reshape(T, 9)
+        row[:, 9:18] = nw.reshape(T, 9)
+        row[:, 18:24] = uv.reshape(T, 6)
+        row[:, 24:27] = tan
+        row[:, 27:30] = bit
+        rows.append(row)
+        geom_ids.append(np.full(T, gi, np.int32))
+
+    if rows:
+        return np.concatenate(rows, axis=0), np.concatenate(geom_ids)
+    return np.zeros((0, TRI_ROW), np.float32), np.zeros((0,), np.int32)
+
+
+def _pack_textures(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
+    if not scene.textures:
+        return np.zeros((1, 3), np.float32), np.zeros((1, 3), np.int32)
+    table = []
+    chunks = []
+    offset = 0
+    for img in scene.textures:
+        h, w, _ = img.shape
+        table.append((offset, w, h))
+        chunks.append(img.reshape(-1, 3))
+        offset += w * h
+    return (
+        np.concatenate(chunks, axis=0).astype(np.float32),
+        np.asarray(table, np.int32),
+    )
+
+
+def _env_cdfs(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
+    """2D luminance·sin(θ) CDFs for env importance sampling.
+
+    Row weighting matches the reference's CDF input
+    (reference: src/scene.cpp:519-525): lum(pixel) · sin((0.5+i)/H · π).
+    """
+    if scene.env_map_id < 0:
+        return np.zeros((1,), np.float32), np.zeros((1, 1), np.float32)
+    img = scene.textures[scene.env_map_id]
+    h, w, _ = img.shape
+    lum = 0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
+    sin_t = np.sin((0.5 + np.arange(h)) / h * np.pi)
+    f = lum * sin_t[:, None]
+    row_int = f.sum(axis=1)
+    cond = np.zeros((h, w + 1), np.float64)
+    np.cumsum(f, axis=1, out=cond[:, 1:])
+    safe = np.where(row_int > 0, row_int, 1.0)
+    cond /= safe[:, None]
+    cond[row_int <= 0] = np.linspace(0, 1, w + 1)
+    marg = np.zeros(h + 1, np.float64)
+    np.cumsum(row_int, out=marg[1:])
+    total = marg[-1] if marg[-1] > 0 else 1.0
+    marg /= total
+    return marg.astype(np.float32), cond.astype(np.float32)
+
+
+def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
+    # geoms (pad to at least 1 so gathers are valid)
+    G = max(len(scene.geoms), 1)
+    geom_type = np.full(G, -1, np.int32)
+    geom_mat = np.zeros(G, np.int32)
+    xf = np.tile(np.eye(4, dtype=np.float32), (G, 1, 1))
+    inv = xf.copy()
+    invt = xf.copy()
+    for i, g in enumerate(scene.geoms):
+        geom_type[i] = g.type
+        geom_mat[i] = g.material_id
+        xf[i] = g.transform
+        inv[i] = g.inverse_transform
+        invt[i] = g.inv_transpose
+
+    tri_data, tri_geom = _pack_triangles(scene)
+
+    bvh: FlatBVH = build_bvh(
+        tri_data[:, 0:9].reshape(-1, 3, 3) if tri_data.shape[0] else tri_data.reshape(0, 3, 3)
+    )
+    if tri_data.shape[0]:
+        tri_data = tri_data[bvh.order]
+        tri_geom = tri_geom[bvh.order]
+
+    # materials
+    M = max(len(scene.materials), 1)
+    mat_f32 = np.zeros((M, 8), np.float32)
+    mat_i32 = np.full((M, 8), -1, np.int32)
+    for i, m in enumerate(scene.materials):
+        mat_f32[i, 0:3] = m.albedo
+        mat_f32[i, 3] = m.roughness
+        mat_f32[i, 4] = m.metallic
+        mat_f32[i, 5] = m.ior
+        mat_i32[i, 0] = m.type
+        mat_i32[i, 1] = m.albedo_tex
+        mat_i32[i, 2] = m.metallic_tex
+        mat_i32[i, 3] = m.roughness_tex
+        mat_i32[i, 4] = m.normal_tex
+
+    atlas, tex_table = _pack_textures(scene)
+
+    # lights: analytic geoms first, then emissive triangles in post-BVH order
+    # (reference: src/scene.cpp:538-558)
+    lg, lt, lty = [], [], []
+    for i, g in enumerate(scene.geoms):
+        if (
+            0 <= g.material_id < len(scene.materials)
+            and scene.materials[g.material_id].type == LIGHT
+            and g.type != OBJ
+        ):
+            lg.append(i)
+            lt.append(-1)
+            lty.append(g.type)
+    for ti in range(tri_data.shape[0]):
+        gi = int(tri_geom[ti])
+        mid = int(geom_mat[gi])
+        if 0 <= mid < len(scene.materials) and scene.materials[mid].type == LIGHT:
+            lg.append(gi)
+            lt.append(ti)
+            lty.append(OBJ)
+    L = max(len(lg), 1)
+    light_geom = np.zeros(L, np.int32)
+    light_tri = np.full(L, -1, np.int32)
+    light_type = np.full(L, -1, np.int32)
+    light_geom[: len(lg)] = lg
+    light_tri[: len(lg)] = lt
+    light_type[: len(lg)] = lty
+
+    marg, cond = _env_cdfs(scene)
+
+    # pad triangle/bvh arrays to >=1 row so device gathers are shape-valid
+    if tri_data.shape[0] == 0:
+        tri_data = np.zeros((1, TRI_ROW), np.float32)
+        tri_geom = np.zeros((1,), np.int32)
+    bvh_f32 = np.zeros((max(bvh.bbox_min.shape[0], 1), 8), np.float32)
+    bvh_i32 = np.zeros((max(bvh.bbox_min.shape[0], 1), 4), np.int32)
+    if bvh.bbox_min.shape[0]:
+        bvh_f32[:, 0:3] = bvh.bbox_min
+        bvh_f32[:, 3:6] = bvh.bbox_max
+        bvh_i32[:, 0] = bvh.start
+        bvh_i32[:, 1] = bvh.end
+        bvh_i32[:, 2] = bvh.hit
+        bvh_i32[:, 3] = bvh.miss
+
+    flat = FlatScene(
+        geom_type=jnp.asarray(geom_type),
+        geom_mat=jnp.asarray(geom_mat),
+        geom_transform=jnp.asarray(xf),
+        geom_inv=jnp.asarray(inv),
+        geom_invt=jnp.asarray(invt),
+        tri_data=jnp.asarray(tri_data),
+        tri_geom=jnp.asarray(tri_geom),
+        bvh_f32=jnp.asarray(bvh_f32),
+        bvh_i32=jnp.asarray(bvh_i32),
+        mat_f32=jnp.asarray(mat_f32),
+        mat_i32=jnp.asarray(mat_i32),
+        atlas=jnp.asarray(atlas),
+        tex_table=jnp.asarray(tex_table),
+        light_geom=jnp.asarray(light_geom),
+        light_tri=jnp.asarray(light_tri),
+        light_type=jnp.asarray(light_type),
+        env_marginal_cdf=jnp.asarray(marg),
+        env_conditional_cdf=jnp.asarray(cond),
+    )
+    static = SceneStatic(
+        num_geoms=len(scene.geoms),
+        num_tris=int(bvh.order.shape[0]),
+        num_bvh_nodes=bvh.num_nodes,
+        num_bvh_trees=bvh.num_trees,
+        num_lights=len(lg),
+        num_materials=len(scene.materials),
+        env_map_id=scene.env_map_id,
+        has_textures=len(scene.textures) > 0,
+        width=scene.camera.resolution[0],
+        height=scene.camera.resolution[1],
+        trace_depth=scene.trace_depth,
+        iterations=scene.iterations,
+        image_name=scene.image_name,
+    )
+    return flat, static

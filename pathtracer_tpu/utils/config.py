@@ -1,0 +1,64 @@
+"""Render configuration.
+
+The reference scatters its configuration over three layers (SURVEY.md §5):
+compile-time #defines (reference: src/utilities.h:22-29, src/BVH.h:5-6),
+the scene file's CAMERA block, and runtime UI state (the SampleMode combo,
+reference: src/preview.cpp:245-252).  Here all of it is one frozen dataclass
+(hashable, so it can be a static jit argument) plus the per-scene RenderState
+carried by the parsed scene.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, replace
+
+
+class SampleMode(enum.IntEnum):
+    """Integrator mode (reference: src/preview.h enum SampleMode)."""
+
+    BSDF = 0       # BSDF importance sampling only   (PTkernel)
+    DIRECT_LI = 1  # next-event estimation only      (DirectLiPTkernel)
+    MIS = 2        # NEE + BSDF with power heuristic (MisPTkernel)
+
+
+@dataclass(frozen=True)
+class RenderOptions:
+    """Feature switches, mirroring the reference's compile-time flags.
+
+    reference: src/utilities.h:22-29 (USE_BVH/USE_SAH/USE_MTBVH/TONEMAPPING/
+    VERTEX_NORMAL/SHOW_NORMAL/ROUGHNESS_MIN/ROUGHNESS_MAX) and
+    src/BVH.h:5-6 (MAX_PRIM/BUCKET_NUM).
+    """
+
+    use_bvh: bool = True
+    use_sah: bool = True
+    use_mtbvh: bool = True
+    tonemapping: bool = True
+    vertex_normal: bool = True
+    show_normal: bool = False
+    roughness_min: float = 1e-3
+    roughness_max: float = 1.0
+    max_prim: int = 1
+    bucket_num: int = 20
+
+    # TPU-build additions (no reference counterpart)
+    sample_mode: SampleMode = SampleMode.BSDF
+    env_importance: bool = False  # env-map CDF importance sampling; the
+    # reference builds the luminance CDF but never samples it
+    # (reference: src/scene.cpp:514-529, README.md:25-27 TODO)
+    compaction: bool = False      # densify live rays on device (off: masked
+    # full-pool execution; the TPU analogue of the reference's compact_rays)
+    interpret: bool = False       # run Pallas kernels in interpreter mode
+
+    def with_mode(self, mode: SampleMode) -> "RenderOptions":
+        return replace(self, sample_mode=SampleMode(mode))
+
+
+# Shared numeric constants (reference: src/utilities.h:13-20)
+PI = 3.1415926535897932384626422832795028841971
+TWO_PI = 2.0 * PI
+INV_PI = 1.0 / PI
+EPSILON = 1e-4
+RAY_BIAS = 1e-3
+BACKGROUND_COLOR = (0.0, 0.0, 0.0)
