@@ -1,0 +1,208 @@
+"""Progressive renderer: accumulation loop, tonemapped save, checkpointing.
+
+Rebuild of the reference's host orchestration (reference: src/main.cpp:146-226
+runCuda/saveImage): dev_image accumulates radiance sums across iterations,
+display/save divides by the iteration count then applies ACES + gamma 1/2.2
+and an X mirror (reference: src/main.cpp:151-158, src/pathtrace.cu:32-65).
+
+Beyond the reference (SURVEY.md §5 'checkpoint/resume'): the accumulation
+buffer + iteration count + RNG seed are saveable/loadable, so a render can
+resume exactly (counter-based RNG keyed on iteration makes the resumed
+stream identical to an uninterrupted run).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.integrator.wavefront import CameraArrays, make_render_iteration
+from pathtracer_tpu.ops import math as m
+from pathtracer_tpu.scene.camera import RenderCamera, derive_camera
+from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic, build_flat_scene
+from pathtracer_tpu.scene.parser import SceneData, load_scene
+from pathtracer_tpu.utils import rng
+from pathtracer_tpu.utils.config import RenderOptions, SampleMode
+from pathtracer_tpu.utils.image_io import write_hdr, write_png
+
+
+@dataclass
+class RenderStats:
+    iterations_done: int = 0
+    rays_traced: int = 0
+    wall_seconds: float = 0.0
+    compile_seconds: float = 0.0
+    per_iter_seconds: list = field(default_factory=list)
+
+    @property
+    def mrays_per_sec(self) -> float:
+        t = self.wall_seconds
+        return (self.rays_traced / t / 1e6) if t > 0 else 0.0
+
+
+class Renderer:
+    """Owns the jitted iteration fn + accumulation state for one scene."""
+
+    def __init__(
+        self,
+        scene: SceneData | str | Path,
+        opts: RenderOptions | None = None,
+        resolution: tuple[int, int] | None = None,
+        trace_depth: int | None = None,
+    ):
+        if not isinstance(scene, SceneData):
+            scene = load_scene(scene)
+        self.scene = scene
+        self.opts = opts or RenderOptions()
+        if resolution is not None:
+            scene.camera.resolution = resolution
+        if trace_depth is not None:
+            scene.trace_depth = trace_depth
+        self.flat, self.static = build_flat_scene(scene)
+        self.width, self.height = scene.camera.resolution
+        self.camera: RenderCamera = derive_camera(scene.camera)
+        self._iter_fn = jax.jit(
+            make_render_iteration(self.static, self.opts, self.width, self.height)
+        )
+        self.key = rng.base_key(0)
+        self.reset()
+        self.stats = RenderStats()
+
+    # -- state --------------------------------------------------------------
+    def reset(self):
+        """Restart accumulation (the reference's camchanged path,
+        reference: src/main.cpp:173-201)."""
+        n = self.width * self.height
+        self.img = jnp.zeros((n, 3), jnp.float32)
+        self.iteration = 0
+
+    def set_orbit(self, theta: float, phi: float):
+        """Interactive orbit (reference: src/main.cpp:255-289 mouse drag)."""
+        self.camera = derive_camera(self.scene.camera, theta=theta, phi=phi)
+        self.reset()
+
+    def _cam_arrays(self) -> CameraArrays:
+        p, v, u, r, pl = self.camera.as_arrays()
+        return CameraArrays(
+            position=jnp.asarray(p),
+            view=jnp.asarray(v),
+            up=jnp.asarray(u),
+            right=jnp.asarray(r),
+            pixel_length=jnp.asarray(pl),
+        )
+
+    # -- rendering ----------------------------------------------------------
+    def step(self, num_iterations: int = 1) -> RenderStats:
+        cam = self._cam_arrays()
+        first = self.iteration == 0 and self.stats.compile_seconds == 0.0
+        if first:
+            t0 = time.perf_counter()
+            img, rays = self._iter_fn(
+                self.flat, cam, self.img, jnp.int32(self.iteration + 1), self.key
+            )
+            jax.block_until_ready(img)
+            self.stats.compile_seconds = time.perf_counter() - t0
+            self.img = img
+            self.iteration += 1
+            self.stats.iterations_done += 1
+            self.stats.rays_traced += int(rays)
+            num_iterations -= 1
+
+        t0 = time.perf_counter()
+        rays_total = jnp.int32(0)
+        for _ in range(num_iterations):
+            self.img, rays = self._iter_fn(
+                self.flat, cam, self.img, jnp.int32(self.iteration + 1), self.key
+            )
+            rays_total = rays_total + rays
+            self.iteration += 1
+        jax.block_until_ready(self.img)
+        dt = time.perf_counter() - t0
+        self.stats.iterations_done += max(num_iterations, 0)
+        self.stats.rays_traced += int(rays_total)
+        self.stats.wall_seconds += dt
+        if num_iterations > 0:
+            self.stats.per_iter_seconds.append(dt / num_iterations)
+        return self.stats
+
+    # -- output -------------------------------------------------------------
+    def ldr_image(self) -> np.ndarray:
+        """Tonemapped (H, W, 3) float in [0,1], reference display transform
+        WITHOUT the save-time X mirror (reference: src/pathtrace.cu:45-50)."""
+        avg = self.img / max(self.iteration, 1)
+        if self.opts.tonemapping:
+            ldr = m.gamma_correction(m.aces_film(avg))
+        else:
+            ldr = jnp.clip(avg, 0.0, 1.0)
+        return np.asarray(ldr).reshape(self.height, self.width, 3)
+
+    def save_png(self, path: str | Path, mirror_x: bool = True):
+        """reference: src/main.cpp:146-170 saveImage (X-mirrored)."""
+        img = self.ldr_image()
+        if mirror_x:
+            img = img[:, ::-1]
+        write_png(path, img)
+
+    def save_hdr(self, path: str | Path, mirror_x: bool = True):
+        avg = np.asarray(self.img / max(self.iteration, 1)).reshape(
+            self.height, self.width, 3
+        )
+        if mirror_x:
+            avg = avg[:, ::-1]
+        write_hdr(path, avg)
+
+    # -- checkpoint/resume ---------------------------------------------------
+    def save_checkpoint(self, path: str | Path):
+        path = Path(path)
+        np.savez_compressed(
+            path,
+            img=np.asarray(self.img),
+            iteration=self.iteration,
+            theta=self.camera.theta,
+            phi=self.camera.phi,
+            meta=json.dumps(
+                {
+                    "scene": str(self.scene.path),
+                    "width": self.width,
+                    "height": self.height,
+                    "mode": int(self.opts.sample_mode),
+                }
+            ),
+        )
+
+    def load_checkpoint(self, path: str | Path):
+        data = np.load(path, allow_pickle=False)
+        meta = json.loads(str(data["meta"]))
+        if (meta["width"], meta["height"]) != (self.width, self.height):
+            raise ValueError("checkpoint resolution mismatch")
+        self.img = jnp.asarray(data["img"])
+        self.iteration = int(data["iteration"])
+        self.camera = derive_camera(
+            self.scene.camera, theta=float(data["theta"]), phi=float(data["phi"])
+        )
+
+
+def render_scene(
+    scene_path: str | Path,
+    spp: int | None = None,
+    mode: SampleMode = SampleMode.BSDF,
+    resolution: tuple[int, int] | None = None,
+    trace_depth: int | None = None,
+    out: str | Path | None = None,
+    opts: RenderOptions | None = None,
+) -> tuple[Renderer, RenderStats]:
+    """One-call headless render (the CLI's core)."""
+    opts = (opts or RenderOptions()).with_mode(mode)
+    r = Renderer(scene_path, opts=opts, resolution=resolution, trace_depth=trace_depth)
+    n = spp if spp is not None else r.static.iterations
+    stats = r.step(n)
+    if out is not None:
+        r.save_png(out)
+    return r, stats

@@ -1,0 +1,273 @@
+"""Wavefront path-tracing integrator (BSDF / direct-light / MIS modes).
+
+TPU rebuild of the reference's render loop + shading kernels
+(reference: src/pathtrace.cu:637-816 pathtrace, :135-163 raygen,
+:405-498 PTkernel, :348-403 DirectLiPTkernel, :500-588 MisPTkernel).
+
+Architecture (SURVEY.md §7): a FIXED-SHAPE ray pool of W·H lanes (one per
+pixel), iterated with `lax.while_loop` over bounce depth.  Dead lanes are
+masked instead of compacted, so there are no host round-trips per bounce —
+the reference's `compact_rays` costs 2 cudaMemcpy D2H per call, twice per
+bounce (reference: src/pathtrace.cu:614-631,727,789).  The loop exits as
+soon as every lane is dead (on-device `jnp.any`), matching the reference's
+`num_paths == 0` exit without the sync.
+
+Because lane index == pixel index, radiance accumulation is a masked
+elementwise add into the (N, 3) image — no scatter needed.
+
+Physics conventions replicated exactly:
+- camera AA jitter (r-0.5) and pixel→direction mapping
+  (reference: src/pathtrace.cu:149-154)
+- env-map radiance added on miss at every depth, rays killed
+  (reference: src/pathtrace.cu:303-311)
+- normal mapping via per-triangle TBN gated on tangent validity
+  (reference: src/pathtrace.cu:323-340)
+- ray-offset epsilons: dielectric 1e-3·(sign-aligned normal), others
+  1e-4·new_dir (reference: src/pathtrace.cu:481,577)
+- paths that exhaust depth are discarded with NO contribution
+  (reference: src/pathtrace.cu:492-496)
+- NaN/Inf scrubbed before every accumulation (processNAN)
+- MIS: prevPdf carries the BSDF pdf (-1 for delta), light hits weighted by
+  powerHeuristic(prevPdf, lightPDF), NEE term weighted by
+  powerHeuristic(lightPdf, bsdfPdf) (reference: src/pathtrace.cu:545-571)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.ops import math as m
+from pathtracer_tpu.ops.lights import light_pdf, light_sample
+from pathtracer_tpu.ops.materials import (
+    gather_material,
+    pdf_eval,
+    bsdf_eval,
+    scatter_sample,
+)
+from pathtracer_tpu.ops.texture import bilinear_sample
+from pathtracer_tpu.ops.traverse import closest_hit
+from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
+from pathtracer_tpu.scene.parser import DIELECTRIC, LIGHT
+from pathtracer_tpu.utils import rng
+from pathtracer_tpu.utils.config import RenderOptions, SampleMode
+
+
+class CameraArrays(NamedTuple):
+    """Traced camera state (orbiting does not retrigger compilation)."""
+
+    position: jnp.ndarray      # (3,)
+    view: jnp.ndarray          # (3,)
+    up: jnp.ndarray            # (3,)
+    right: jnp.ndarray         # (3,)
+    pixel_length: jnp.ndarray  # (2,)
+
+
+def camera_rays(cam: CameraArrays, width: int, height: int, key, iteration):
+    """Per-pixel AA-jittered primary rays (reference: src/pathtrace.cu:135-163)."""
+    n = width * height
+    idx = jnp.arange(n, dtype=jnp.int32)
+    x = (idx % width).astype(jnp.float32)
+    y = (idx // width).astype(jnp.float32)
+    r = rng.uniforms(key, iteration, 0, rng.STAGE_CAMERA, (n, 2))
+    px = x + (r[:, 0] - 0.5) - width * 0.5
+    py = y + (r[:, 1] - 0.5) - height * 0.5
+    d = m.normalize(
+        cam.view[None, :]
+        - cam.right[None, :] * (cam.pixel_length[0] * px)[:, None]
+        - cam.up[None, :] * (cam.pixel_length[1] * py)[:, None]
+    )
+    o = jnp.broadcast_to(cam.position, (n, 3))
+    return o, d
+
+
+class _BounceState(NamedTuple):
+    depth: jnp.ndarray
+    o: jnp.ndarray
+    d: jnp.ndarray
+    color: jnp.ndarray
+    prev_pdf: jnp.ndarray
+    remaining: jnp.ndarray
+    alive: jnp.ndarray
+    img: jnp.ndarray
+    rays_traced: jnp.ndarray  # throughput metric (primary+bounce+shadow rays)
+
+
+def _apply_normal_map(hit, params):
+    """reference: src/pathtrace.cu:323-340."""
+    n = m.normalize(hit.normal)
+    local = m.normalize(params.normal_map - 0.5)
+    t = hit.tangent
+    use_tbn = (m.dot(t, t) > 1e-3) & (jnp.abs(local[:, 2] - 1.0) > 1e-5)
+    b2 = m.normalize(m.cross(n, t))
+    t2 = m.normalize(m.cross(b2, n))
+    mapped = m.normalize(
+        local[:, 0:1] * t2 + local[:, 1:2] * b2 + local[:, 2:3] * n
+    )
+    return jnp.where(use_tbn[..., None], mapped, n)
+
+
+def make_render_iteration(
+    static: SceneStatic, opts: RenderOptions, width: int, height: int
+):
+    """Build the jittable one-iteration render function.
+
+    Returns f(flat, cam, img, iteration, key) -> (img, rays_traced).
+    `img` is the running radiance SUM over iterations, (W·H, 3) float32
+    (display divides by the iteration count, like the reference's dev_image).
+    """
+    n = width * height
+    mode = opts.sample_mode
+    trace_depth = static.trace_depth
+
+    def bounce_body(flat: FlatScene, key, iteration, state: _BounceState):
+        depth = state.depth
+        alive = state.alive
+        hit = closest_hit(flat, static, state.o, state.d)
+        rays_traced = state.rays_traced + jnp.sum(alive.astype(jnp.int32))
+
+        miss = hit.geom < 0
+        img = state.img
+        if static.env_map_id >= 0:
+            uv = m.sphere_to_plane(state.d)
+            env = bilinear_sample(
+                flat.atlas,
+                flat.tex_table,
+                jnp.full((n,), static.env_map_id, jnp.int32),
+                uv,
+            )
+            img = img + jnp.where(
+                (alive & miss)[..., None], m.process_nan(state.color * env), 0.0
+            )
+        alive = alive & ~miss
+
+        mat_id = flat.geom_mat[jnp.clip(hit.geom, 0, flat.geom_mat.shape[0] - 1)]
+        params = gather_material(flat, static, mat_id, hit.uv)
+        nrm = _apply_normal_map(hit, params)
+        is_light = params.type == LIGHT
+        is_delta = params.type == DIELECTRIC
+
+        sc_rand = rng.uniforms(key, iteration, depth, rng.STAGE_SCATTER, (n, 3))
+        srec = scatter_sample(params, nrm, state.d, sc_rand)
+        pdf_ok = srec.pdf != 0.0
+
+        if mode == SampleMode.DIRECT_LI:
+            # reference: src/pathtrace.cu:348-403 — one NEE bounce, then stop
+            li_rand = rng.uniforms(key, iteration, depth, rng.STAGE_LIGHT, (n, 3))
+            lrec = light_sample(flat, static, hit.point, li_rand)
+            rays_traced = rays_traced + jnp.sum((alive & ~is_light).astype(jnp.int32))
+            wi = m.normalize(lrec.pos - hit.point)
+            bsdf = bsdf_eval(params, nrm, state.d, wi)
+            nee = (
+                state.color
+                * bsdf
+                * lrec.emit
+                * (jnp.maximum(m.dot(wi, nrm), 0.0) / lrec.pdf)[..., None]
+            )
+            add_light = alive & is_light
+            add_nee = alive & ~is_light & (lrec.pdf > 0.0)
+            img = img + jnp.where(
+                add_light[..., None], m.process_nan(state.color * params.emit), 0.0
+            )
+            img = img + jnp.where(add_nee[..., None], m.process_nan(nee), 0.0)
+            return _BounceState(
+                depth + 1,
+                state.o,
+                state.d,
+                state.color,
+                state.prev_pdf,
+                state.remaining,
+                jnp.zeros_like(alive),
+                img,
+                rays_traced,
+            )
+
+        # --- light hit term ---
+        light_color = state.color * srec.bsdf / jnp.maximum(srec.pdf, 1e-38)[..., None]
+        if mode == SampleMode.MIS:
+            lp = light_pdf(
+                flat, static, state.o, hit.point, nrm, hit.tri, hit.geom
+            )
+            weight = jnp.where(
+                state.prev_pdf > 0.0,
+                m.power_heuristic(state.prev_pdf, lp),
+                1.0,
+            )
+            light_color = light_color * weight[..., None]
+        add_light = alive & pdf_ok & is_light
+        img = img + jnp.where(add_light[..., None], m.process_nan(light_color), 0.0)
+
+        cont = alive & pdf_ok & ~is_light
+
+        # --- NEE term (MIS only, non-delta) ---
+        if mode == SampleMode.MIS:
+            li_rand = rng.uniforms(key, iteration, depth, rng.STAGE_LIGHT, (n, 3))
+            lrec = light_sample(flat, static, hit.point, li_rand)
+            rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
+            wi = m.normalize(lrec.pos - hit.point)
+            b_pdf = pdf_eval(params, nrm, state.d, wi)
+            li_bsdf = bsdf_eval(params, nrm, state.d, wi)
+            w = m.power_heuristic(lrec.pdf, b_pdf)
+            nee = (
+                w[..., None]
+                * state.color
+                * lrec.emit
+                * li_bsdf
+                * (jnp.maximum(m.dot(wi, nrm), 0.0) / lrec.pdf)[..., None]
+            )
+            add_nee = cont & ~is_delta
+            img = img + jnp.where(add_nee[..., None], m.process_nan(nee), 0.0)
+
+        # --- continuation ---
+        offset_dir = jnp.where(
+            (m.dot(srec.dir, nrm) > 0.0)[..., None], nrm, -nrm
+        )
+        new_o = hit.point + jnp.where(
+            is_delta[..., None], 1e-3 * offset_dir, 1e-4 * srec.dir
+        )
+        throughput = (
+            srec.bsdf
+            * (jnp.abs(m.dot(srec.dir, nrm)) / jnp.maximum(srec.pdf, 1e-38))[..., None]
+        )
+        cm = cont[..., None]
+        color = jnp.where(cm, state.color * throughput, state.color)
+        o = jnp.where(cm, new_o, state.o)
+        d = jnp.where(cm, srec.dir, state.d)
+        prev_pdf = state.prev_pdf
+        if mode == SampleMode.MIS:
+            prev_pdf = jnp.where(
+                cont, jnp.where(is_delta, -1.0, srec.pdf), prev_pdf
+            )
+        remaining = jnp.where(cont, state.remaining - 1, state.remaining)
+        alive = cont & (remaining > 0)
+
+        return _BounceState(
+            depth + 1, o, d, color, prev_pdf, remaining, alive, img, rays_traced
+        )
+
+    def render_iteration(flat: FlatScene, cam: CameraArrays, img, iteration, key):
+        o, d = camera_rays(cam, width, height, key, iteration)
+        state = _BounceState(
+            depth=jnp.int32(0),
+            o=o,
+            d=d,
+            color=jnp.ones((n, 3), jnp.float32),
+            prev_pdf=jnp.full((n,), -1.0, jnp.float32),
+            remaining=jnp.full((n,), trace_depth, jnp.int32),
+            alive=jnp.ones((n,), bool),
+            img=img,
+            rays_traced=jnp.int32(0),
+        )
+
+        def cond(s: _BounceState):
+            return jnp.any(s.alive) & (s.depth < trace_depth + 1)
+
+        state = jax.lax.while_loop(
+            cond, partial(bounce_body, flat, key, iteration), state
+        )
+        return state.img, state.rays_traced
+
+    return render_iteration

@@ -1,0 +1,176 @@
+"""Next-event estimation: light sampling + pdf evaluation.
+
+TPU rebuild of the reference's LightSampler
+(reference: src/lightSample.h:18-249).  Replicated semantics, including
+documented quirks (SURVEY.md §2 row 12, §7):
+
+- uniform light pick: id = min(u * L, L-1) (reference: lightSample.h:178)
+- triangle lights: uniform-area sample, solid-angle-converted pdf
+  (1/L) · d² / (area · |cosθ|), two-sided (reference: lightSample.h:186-200)
+- sphere lights: cone sampling in OBJECT space assuming radius 0.5 —
+  non-uniform scales give a wrong pdf exactly as in the reference
+  (reference: lightSample.h:202-234)
+- CUBE area lights have NO sampling branch: pdf stays 0 so NEE contributes
+  nothing for them, and lightPDF returns -1 (so the MIS weight becomes
+  f²/(f²+1)) (reference: lightSample.h:171-234,141-169)
+- occlusion ray starts at viewPos + 1e-5·dir (reference: lightSample.h:237)
+- occluded ⇒ pdf = -1, emit = 0 (reference: lightSample.h:238-243)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from pathtracer_tpu.ops import math as m
+from pathtracer_tpu.ops.intersect import xform_point
+from pathtracer_tpu.ops.traverse import occlusion_test
+from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
+from pathtracer_tpu.scene.parser import SPHERE
+from pathtracer_tpu.utils.config import TWO_PI
+
+
+class LightSampleRecord(NamedTuple):
+    pos: jnp.ndarray   # (N, 3)
+    emit: jnp.ndarray  # (N, 3)
+    pdf: jnp.ndarray   # (N,)  (-1 = occluded / invalid)
+
+
+def _tri_light_geometry(flat: FlatScene, tri_id):
+    tidx = jnp.clip(tri_id, 0, flat.tri_data.shape[0] - 1)
+    trow = flat.tri_data[tidx]
+    v0, v1, v2 = trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
+    n0, n1, n2 = trow[:, 9:12], trow[:, 12:15], trow[:, 15:18]
+    return v0, v1, v2, n0, n1, n2
+
+
+def _sphere_cone_sample(flat: FlatScene, geom_id, view_pos, xi):
+    """Cone sampling toward a sphere light (reference: lightSample.h:202-234)."""
+    gid = jnp.clip(geom_id, 0, flat.geom_transform.shape[0] - 1)
+    tr = flat.geom_transform[gid]
+    inv = flat.geom_inv[gid]
+    view_l = xform_point(inv, view_pos)
+    center_to_ref = m.normalize(-view_l)
+    tan, bit = m.onb_pixar(center_to_ref)
+
+    d2 = m.dot(view_l, view_l)
+    sin_tm2 = 0.25 / jnp.maximum(d2, 1e-12)
+    cos_tm = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_tm2))
+    cos_t = (1.0 - xi[:, 0]) + xi[:, 0] * cos_tm
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = xi[:, 1] * TWO_PI
+
+    dc = jnp.sqrt(jnp.maximum(d2, 0.0))
+    ds = dc * cos_t - jnp.sqrt(
+        jnp.maximum(0.0, 0.25 - dc * dc * sin_t * sin_t)
+    )
+    sin_a = ds * sin_t / 0.5
+    cos_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_a * sin_a))
+
+    n_obj = (
+        (sin_a * jnp.cos(phi))[..., None] * tan
+        + (sin_a * jnp.sin(phi))[..., None] * bit
+        + cos_a[..., None] * (-center_to_ref)
+    )
+    p_obj = n_obj * 0.5
+    light_pos = xform_point(tr, p_obj)
+    pdf = 1.0 / (TWO_PI * (1.0 - cos_tm))
+    return light_pos, pdf
+
+
+def light_sample(
+    flat: FlatScene, static: SceneStatic, view_pos, rands
+) -> LightSampleRecord:
+    """Sample one light per ray, with occlusion.
+
+    `rands` is (N, 3): col 0 the light pick, cols 1-2 the area/cone sample.
+    """
+    N = view_pos.shape[0]
+    L = static.num_lights
+    if L == 0:
+        zero = jnp.zeros((N,), jnp.float32)
+        return LightSampleRecord(
+            pos=jnp.zeros((N, 3), jnp.float32),
+            emit=jnp.zeros((N, 3), jnp.float32),
+            pdf=zero - 1.0,
+        )
+    fl = jnp.float32(L)
+    light_id = jnp.minimum(rands[:, 0] * fl, fl - 1.0).astype(jnp.int32)
+    lid = jnp.clip(light_id, 0, flat.light_geom.shape[0] - 1)
+    geom_id = flat.light_geom[lid]
+    tri_id = flat.light_tri[lid]
+    ltype = flat.light_type[lid]
+    mat_id = flat.geom_mat[jnp.clip(geom_id, 0, flat.geom_mat.shape[0] - 1)]
+    emit = flat.mat_f32[jnp.clip(mat_id, 0, flat.mat_f32.shape[0] - 1)][:, 0:3]
+
+    xi = rands[:, 1:3]
+    inv_l = 1.0 / fl
+
+    # triangle branch (reference: lightSample.h:186-200) — note the
+    # reference's barycentric convention: pos = u·v0 + v·v1 + (1-u-v)·v2
+    bary = m.sample_triangle_uniform(xi)
+    u, v = bary[:, 0], bary[:, 1]
+    v0, v1, v2, n0, n1, n2 = _tri_light_geometry(flat, tri_id)
+    tri_pos = u[..., None] * v0 + v[..., None] * v1 + (1.0 - u - v)[..., None] * v2
+    tri_nrm = m.normalize(
+        u[..., None] * n0 + v[..., None] * n1 + (1.0 - u - v)[..., None] * n2
+    )
+    area = m.length(m.cross(v1 - v0, v2 - v0)) / 2.0
+    d2 = m.length2(tri_pos - view_pos)
+    cos_l = jnp.abs(m.dot(m.normalize(view_pos - tri_pos), tri_nrm))
+    tri_pdf = inv_l * d2 / jnp.maximum(area * cos_l, 1e-38)
+
+    # sphere branch (reference: lightSample.h:202-234)
+    sph_pos, sph_pdf_solid = _sphere_cone_sample(flat, geom_id, view_pos, xi)
+    sph_pdf = sph_pdf_solid * inv_l
+
+    is_tri = tri_id >= 0
+    is_sphere = (~is_tri) & (ltype == SPHERE)
+    light_pos = jnp.where(
+        is_tri[..., None], tri_pos, jnp.where(is_sphere[..., None], sph_pos, 0.0)
+    )
+    pdf = jnp.where(is_tri, tri_pdf, jnp.where(is_sphere, sph_pdf, 0.0))
+
+    ray_dir = m.normalize(light_pos - view_pos)
+    occ = occlusion_test(
+        flat, static, view_pos + 1e-5 * ray_dir, ray_dir, light_pos,
+        enabled=pdf > 0.0,
+    )
+    pdf = jnp.where(occ, -1.0, pdf)
+    emit = jnp.where(occ[..., None], 0.0, emit)
+    return LightSampleRecord(pos=light_pos, emit=emit, pdf=pdf)
+
+
+def light_pdf(flat: FlatScene, static: SceneStatic, view_pos, light_pos, normal, tri_id, geom_id):
+    """Re-evaluate the light pdf for a BSDF-sampled hit (MIS weight).
+
+    reference: src/lightSample.h:141-169 lightPDF.  Returns -1 for
+    geometries with no sampling branch (cube lights).
+    """
+    N = view_pos.shape[0]
+    L = static.num_lights
+    if L == 0:
+        return jnp.full((N,), -1.0, jnp.float32)
+    inv_l = 1.0 / jnp.float32(L)
+
+    pdf = jnp.full((N,), -1.0, jnp.float32)
+
+    # triangle branch
+    is_tri = tri_id >= 0
+    v0, v1, v2, *_ = _tri_light_geometry(flat, tri_id)
+    area = m.length(m.cross(v1 - v0, v2 - v0)) / 2.0
+    d2 = m.length2(light_pos - view_pos)
+    cos_l = jnp.abs(m.dot(m.normalize(view_pos - light_pos), normal))
+    tri_pdf = inv_l * d2 / jnp.maximum(area * cos_l, 1e-38)
+    pdf = jnp.where(is_tri, tri_pdf, pdf)
+
+    # sphere branch (overrides, reference: lightSample.h:157-167)
+    gid = jnp.clip(geom_id, 0, flat.geom_type.shape[0] - 1)
+    is_sphere = flat.geom_type[gid] == SPHERE
+    view_l = xform_point(flat.geom_inv[gid], view_pos)
+    sin_tm2 = 0.25 / jnp.maximum(m.dot(view_l, view_l), 1e-12)
+    cos_tm = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_tm2))
+    sph_pdf = 1.0 / (TWO_PI * (1.0 - cos_tm)) * inv_l
+    pdf = jnp.where(is_sphere, sph_pdf, pdf)
+    return pdf

@@ -1,0 +1,294 @@
+"""BSDF library: eval / sample / pdf for all five material types.
+
+TPU rebuild of the reference's tagged-union Material class
+(reference: src/material.h:29-539).  Instead of a per-thread switch, every
+lobe is evaluated vectorized over the whole wavefront and combined with
+masked selects (the lobes are cheap VPU math; divergence costs nothing).
+
+Semantics replicated exactly, including quirks (SURVEY.md §7):
+- `wo` passed around is the RAY direction (pointing INTO the surface); the
+  GGX lobes negate it internally (reference: src/pathtrace.cu:460 passes
+  pathSegments.ray.direction).
+- Dielectric is a delta lobe: exact Fresnel chooses reflect/refract,
+  refraction carries the (ior2²/ior1²) radiance scale, and the returned
+  bsdf is divided by |cos| so the integrator's cosine cancels
+  (reference: src/material.h:81-114).
+- Microfacet passes `roughness` (not alpha²) to Smith G, and `roughness` as
+  the VNDF alpha; MetallicWorkflow passes roughness² to the VNDF
+  (reference: src/material.h:246-357).
+- Light materials return (albedo-constant, pdf=1) from scatterSample
+  (reference: src/material.h:472-475) — note the emission uses the CONSTANT
+  albedo member, never the texture sampler.
+- roughness is clamped to [1e-3, 1] and metallic to [0, 1] at sample time
+  (reference: src/material.h:274,324-325).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from pathtracer_tpu.ops import math as m
+from pathtracer_tpu.ops.texture import sample_or_const
+from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
+from pathtracer_tpu.scene.parser import (
+    DIELECTRIC,
+    LAMBERTIAN,
+    LIGHT,
+    METALLIC_WORKFLOW,
+    MICROFACET,
+)
+from pathtracer_tpu.utils.config import INV_PI
+
+ROUGHNESS_MIN = 1e-3
+ROUGHNESS_MAX = 1.0
+
+
+class MatParams(NamedTuple):
+    """Per-ray gathered & texture-resolved material parameters."""
+
+    type: jnp.ndarray         # (N,) int32
+    albedo: jnp.ndarray       # (N, 3) sampled (texture or constant)
+    roughness: jnp.ndarray    # (N,) clamped
+    metallic: jnp.ndarray     # (N,) clamped
+    ior: jnp.ndarray          # (N,)
+    emit: jnp.ndarray         # (N, 3) CONSTANT albedo (Light emission)
+    normal_map: jnp.ndarray   # (N, 3) normal-map texel (0.5,0.5,1 if none)
+    has_normal_map: jnp.ndarray  # (N,) bool
+
+
+class ScatterRecord(NamedTuple):
+    """reference: src/material.h:20-27 scatter_record."""
+
+    bsdf: jnp.ndarray   # (N, 3)
+    pdf: jnp.ndarray    # (N,)
+    delta: jnp.ndarray  # (N,) bool
+    dir: jnp.ndarray    # (N, 3)
+
+
+def gather_material(flat: FlatScene, static: SceneStatic, mat_id, uv) -> MatParams:
+    """Gather material rows + resolve texture-or-constant samplers."""
+    mid = jnp.clip(mat_id, 0, flat.mat_f32.shape[0] - 1)
+    f = flat.mat_f32[mid]
+    i = flat.mat_i32[mid]
+    const_albedo = f[:, 0:3]
+    if static.has_textures:
+        albedo = sample_or_const(flat.atlas, flat.tex_table, i[:, 1], const_albedo, uv)
+        rough = sample_or_const(
+            flat.atlas, flat.tex_table, i[:, 3], f[:, 3:4], uv
+        )[:, 0]
+        metal = sample_or_const(
+            flat.atlas, flat.tex_table, i[:, 2], f[:, 4:5], uv
+        )[:, 0]
+        nmap_const = jnp.broadcast_to(
+            jnp.array([0.5, 0.5, 1.0], jnp.float32), const_albedo.shape
+        )
+        nmap = sample_or_const(flat.atlas, flat.tex_table, i[:, 4], nmap_const, uv)
+    else:
+        albedo = const_albedo
+        rough = f[:, 3]
+        metal = f[:, 4]
+        nmap = jnp.broadcast_to(
+            jnp.array([0.5, 0.5, 1.0], jnp.float32), const_albedo.shape
+        )
+    return MatParams(
+        type=i[:, 0],
+        albedo=albedo,
+        roughness=jnp.clip(rough, ROUGHNESS_MIN, ROUGHNESS_MAX),
+        metallic=jnp.clip(metal, 0.0, 1.0),
+        ior=f[:, 5],
+        emit=const_albedo,
+        normal_map=nmap,
+        has_normal_map=i[:, 4] >= 0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# individual lobes (all take wo = ray direction INTO the surface)
+
+
+def _lambertian_sample(p: MatParams, n, wo, r):
+    bsdf = p.albedo * INV_PI
+    d = m.sample_hemisphere_cosine(n, r[:, 0:2])
+    pdf = m.dot(d, n) * INV_PI
+    return bsdf, pdf, d
+
+
+def _dielectric_sample(p: MatParams, n, wo, r):
+    """reference: src/material.h:81-114 dielectricScatterSample."""
+    entering = m.dot(wo, n) < 0.0
+    ior1 = jnp.where(entering, 1.0, p.ior)
+    ior2 = jnp.where(entering, p.ior, 1.0)
+    fres = m.fresnel_maxwell(jnp.abs(m.dot(wo, n)), ior1, ior2)
+    reflectp = r[:, 2] < fres
+
+    refl = m.reflect_dir(n, wo)
+    refr = m.refract_dir(n, wo, ior1, ior2)
+    d = jnp.where(reflectp[..., None], refl, refr)
+    scale = jnp.where(reflectp, 1.0, (ior2 * ior2) / (ior1 * ior1))
+    bsdf = p.albedo * scale[..., None]
+    bsdf = bsdf / jnp.maximum(jnp.abs(m.dot(d, n)), 1e-38)[..., None]
+    pdf = jnp.ones_like(fres)
+    return bsdf, pdf, d
+
+
+def microfacet_bsdf(n, wo_out, wi, albedo, rough):
+    """reference: src/material.h:246-260 (wo_out points AWAY from surface)."""
+    a2 = rough * rough
+    cos_o = m.dot(n, wo_out)
+    cos_i = m.dot(n, wi)
+    wm = m.normalize(wo_out + wi)
+    d = m.ndf_ggx(m.dot(wm, n), a2)
+    g2 = m.smith_g2(rough, cos_o, cos_i)  # quirk: roughness, not alpha²
+    f = m.fresnel_schlick(albedo, m.dot(wo_out, wm))
+    val = f * (d * g2 / jnp.maximum(4.0 * cos_o * cos_i, 1e-8))[..., None]
+    return jnp.where((cos_o * cos_i < 1e-7)[..., None], 0.0, val)
+
+
+def microfacet_pdf(n, wo_out, wi, rough):
+    """reference: src/material.h:262-270."""
+    a2 = rough * rough
+    cos_o = m.dot(n, wo_out)
+    wm = m.normalize(wo_out + wi)
+    d = m.ndf_ggx(m.dot(wm, n), a2)
+    g1 = m.smith_g1(rough, cos_o)  # quirk: roughness, not alpha²
+    return g1 * d / jnp.maximum(4.0 * m.dot(wo_out, n), 1e-8)
+
+
+def _microfacet_sample(p: MatParams, n, wo, r):
+    """reference: src/material.h:272-294 (VNDF alpha = roughness, unsquared)."""
+    wo_out = -wo
+    wm = m.sample_normal_ggx(n, wo_out, p.roughness, r[:, 0:2])
+    d = m.reflect(wo, wm)
+    bad = m.dot(d, n) * m.dot(wo_out, n) < 0.0
+    bsdf = microfacet_bsdf(n, wo_out, d, p.albedo, p.roughness)
+    pdf = microfacet_pdf(n, wo_out, d, p.roughness)
+    bsdf = jnp.where(bad[..., None], 0.0, bsdf)
+    pdf = jnp.where(bad, 0.0, pdf)
+    return bsdf, pdf, d
+
+
+def metallic_bsdf(n, wo_out, wi, albedo, rough, metal):
+    """reference: src/material.h:296-310 metallicBSDF."""
+    a2 = rough * rough
+    cos_o = m.dot(n, wo_out)
+    cos_i = m.dot(n, wi)
+    wm = m.normalize(wo_out + wi)
+    d = m.ndf_ggx(m.dot(wm, n), a2)
+    g2 = m.smith_g2(rough, cos_o, cos_i)  # quirk: roughness as a2
+    f0 = m.mix(jnp.full_like(albedo, 0.08), albedo, metal[..., None])
+    f = m.fresnel_schlick(f0, m.dot(wo_out, wm))
+    diff = (1.0 - metal)[..., None] * albedo * INV_PI
+    spec = (d * g2 / jnp.maximum(4.0 * cos_o * cos_i, 1e-8))[..., None]
+    val = m.mix(diff, jnp.broadcast_to(spec, diff.shape), f)
+    return jnp.where((cos_o * cos_i < 1e-7)[..., None], 0.0, val)
+
+
+def metallic_pdf(n, wo_out, wi, rough, metal):
+    """reference: src/material.h:312-320 metallicPDF."""
+    a2 = rough * rough
+    cos_o = m.dot(n, wo_out)
+    wm = m.normalize(wo_out + wi)
+    d = m.ndf_ggx(m.dot(wm, n), a2)
+    g1 = m.smith_g1(rough, cos_o)  # quirk
+    spec_pdf = g1 * d / jnp.maximum(4.0 * m.dot(wo_out, n), 1e-8)
+    diff_pdf = m.dot(wi, n) * INV_PI
+    return m.mix(diff_pdf, spec_pdf, 1.0 / (2.0 - metal))
+
+
+def _metallic_sample(p: MatParams, n, wo, r):
+    """reference: src/material.h:322-357 (VNDF alpha = roughness², lobe pick
+    with prob 1/(2-metallic))."""
+    wo_out = -wo
+    spec_prob = 1.0 / (2.0 - p.metallic)
+    pick_spec = r[:, 2] < spec_prob
+    wm = m.sample_normal_ggx(n, wo_out, p.roughness * p.roughness, r[:, 0:2])
+    d_spec = m.reflect(wo, wm)
+    d_diff = m.sample_hemisphere_cosine(n, r[:, 0:2])
+    d = jnp.where(pick_spec[..., None], d_spec, d_diff)
+    bad = (m.dot(wo_out, n) < 0.0) | (m.dot(d, n) < 0.0)
+    bsdf = metallic_bsdf(n, wo_out, d, p.albedo, p.roughness, p.metallic)
+    pdf = metallic_pdf(n, wo_out, d, p.roughness, p.metallic)
+    bsdf = jnp.where(bad[..., None], 0.0, bsdf)
+    pdf = jnp.where(bad, 0.0, pdf)
+    return bsdf, pdf, d
+
+
+# ---------------------------------------------------------------------------
+# dispatchers (reference: src/material.h:450-521)
+
+
+def scatter_sample(p: MatParams, n, wo, rands) -> ScatterRecord:
+    """Sample an outgoing direction + bsdf + pdf for every ray.
+
+    `rands` is (N, 3): cols 0-1 are the 2D sample, col 2 the lobe/Fresnel
+    1D sample.  reference: src/material.h:450-481 scatterSample.
+    """
+    lb, lp, ld = _lambertian_sample(p, n, wo, rands)
+    db, dp, dd = _dielectric_sample(p, n, wo, rands)
+    mb, mp, md = _microfacet_sample(p, n, wo, rands)
+    wb, wp, wd = _metallic_sample(p, n, wo, rands)
+
+    t = p.type
+    is_l = (t == LAMBERTIAN)[..., None]
+    is_d = (t == DIELECTRIC)[..., None]
+    is_m = (t == MICROFACET)[..., None]
+    is_w = (t == METALLIC_WORKFLOW)[..., None]
+    is_light = (t == LIGHT)[..., None]
+
+    bsdf = jnp.where(
+        is_l, lb, jnp.where(is_d, db, jnp.where(is_m, mb, jnp.where(is_w, wb, p.emit)))
+    )
+    pdf = jnp.where(
+        t == LAMBERTIAN,
+        lp,
+        jnp.where(
+            t == DIELECTRIC,
+            dp,
+            jnp.where(
+                t == MICROFACET,
+                mp,
+                jnp.where(t == METALLIC_WORKFLOW, wp, 1.0),
+            ),
+        ),
+    )
+    d = jnp.where(
+        is_l,
+        ld,
+        jnp.where(is_d, dd, jnp.where(is_m, md, jnp.where(is_w, wd, 0.0))),
+    )
+    delta = t == DIELECTRIC
+    return ScatterRecord(bsdf=bsdf, pdf=pdf, delta=delta, dir=d)
+
+
+def bsdf_eval(p: MatParams, n, wo, wi):
+    """reference: src/material.h:483-501 BSDF (wo = ray dir into surface)."""
+    wo_out = -wo
+    lb = p.albedo * INV_PI
+    mb = microfacet_bsdf(n, wo_out, wi, p.albedo, p.roughness)
+    wb = metallic_bsdf(n, wo_out, wi, p.albedo, p.roughness, p.metallic)
+    t = p.type
+    return jnp.where(
+        (t == LAMBERTIAN)[..., None],
+        lb,
+        jnp.where(
+            (t == MICROFACET)[..., None],
+            mb,
+            jnp.where((t == METALLIC_WORKFLOW)[..., None], wb, 0.0),
+        ),
+    )
+
+
+def pdf_eval(p: MatParams, n, wo, wi):
+    """reference: src/material.h:503-521 pdf."""
+    wo_out = -wo
+    lp = m.dot(wi, n) * INV_PI
+    mp = microfacet_pdf(n, wo_out, wi, p.roughness)
+    wp = metallic_pdf(n, wo_out, wi, p.roughness, p.metallic)
+    t = p.type
+    return jnp.where(
+        t == LAMBERTIAN,
+        lp,
+        jnp.where(t == MICROFACET, mp, jnp.where(t == METALLIC_WORKFLOW, wp, 0.0)),
+    )

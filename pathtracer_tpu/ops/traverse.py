@@ -1,0 +1,254 @@
+"""Batched scene traversal: closest-hit and occlusion (any-hit) queries.
+
+TPU rebuild of the reference's intersection kernels: the brute-force loop
+over analytic geoms plus the stackless threaded-MTBVH walk
+(reference: src/pathtrace.cu:169-346 computeIntersections,
+src/lightSample.h:59-139 occulusionTest).
+
+Design (SURVEY.md §7): instead of one CUDA thread per ray chasing hit/miss
+links independently, ALL rays advance one node per `lax.while_loop` step;
+finished rays idle (node == -1).  Each step is two row-gathers from packed
+HBM tables — (N, 8) float32 node bounds and (N, 4) int32 links — plus a
+vectorized AABB test and (for leaves, MAX_PRIM == 1) one triangle test.
+The MTBVH's 6 direction-sorted replicas keep rays front-to-back so the
+`tempT > t_min` cutoff (reference: src/pathtrace.cu:252) prunes quickly.
+The loop bound is dynamic (any ray active) with a static 4·N-node safety
+cap; there is NO host synchronization anywhere (the reference pays 2 D2H
+copies per compaction, src/pathtrace.cu:620-625).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.ops.intersect import ray_aabb, ray_cube, ray_sphere, ray_triangle
+from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
+from pathtracer_tpu.scene.parser import CUBE, SPHERE
+
+FLT_MAX = 3.402823466e38
+MAX_PRIM = 1
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray          # (N,) world distance; FLT_MAX = miss
+    geom: jnp.ndarray       # (N,) int32 geom index, -1 = miss
+    tri: jnp.ndarray        # (N,) int32 triangle index, -1 = analytic geom
+    point: jnp.ndarray      # (N, 3)
+    normal: jnp.ndarray     # (N, 3) geometric/interpolated normal (pre normal-map)
+    uv: jnp.ndarray         # (N, 2)
+    tangent: jnp.ndarray    # (N, 3)
+    bitangent: jnp.ndarray  # (N, 3)
+
+
+def _geoms_closest(flat: FlatScene, static: SceneStatic, o, d):
+    """Brute-force analytic geoms (reference: src/pathtrace.cu:211-235)."""
+    N = o.shape[0]
+    t_min = jnp.full((N,), FLT_MAX, jnp.float32)
+    geom = jnp.full((N,), -1, jnp.int32)
+    point = jnp.zeros((N, 3), jnp.float32)
+    normal = jnp.zeros((N, 3), jnp.float32)
+
+    def body(carry, g):
+        t_min, geom, point, normal = carry
+        gtype, gi, xf, inv, invt = g
+        vs, ts, ps, ns, _ = ray_sphere(xf, inv, invt, o, d)
+        vc, tc, pc, nc, _ = ray_cube(xf, inv, invt, o, d)
+        is_sphere = gtype == SPHERE
+        is_cube = gtype == CUBE
+        valid = jnp.where(is_sphere, vs, vc) & (is_sphere | is_cube)
+        t = jnp.where(is_sphere, ts, tc)
+        p = jnp.where(is_sphere, ps, pc)
+        n = jnp.where(is_sphere, ns, nc)
+        better = valid & (t > 0.0) & (t < t_min)
+        bm = better[..., None]
+        return (
+            jnp.where(better, t, t_min),
+            jnp.where(better, gi, geom),
+            jnp.where(bm, p, point),
+            jnp.where(bm, n, normal),
+        ), None
+
+    G = flat.geom_type.shape[0]
+    xs = (
+        flat.geom_type,
+        jnp.arange(G, dtype=jnp.int32),
+        flat.geom_transform,
+        flat.geom_inv,
+        flat.geom_invt,
+    )
+    (t_min, geom, point, normal), _ = jax.lax.scan(
+        body, (t_min, geom, point, normal), xs
+    )
+    return t_min, geom, point, normal
+
+
+def _mtbvh_offset(static: SceneStatic, d):
+    """Direction-octant tree select (reference: src/pathtrace.cu:241-246)."""
+    ad = jnp.abs(d)
+    axis = jnp.where(
+        (ad[..., 0] > ad[..., 1]) & (ad[..., 0] > ad[..., 2]),
+        0,
+        jnp.where(ad[..., 1] > ad[..., 2], 1, 2),
+    )
+    comp = jnp.take_along_axis(d, axis[..., None], axis=-1)[..., 0]
+    octant = axis + jnp.where(comp > 0.0, 0, 3)
+    return (octant * static.num_bvh_nodes).astype(jnp.int32)
+
+
+def _bvh_closest(flat: FlatScene, static: SceneStatic, o, d, t_min, tri, u, v):
+    """Stackless threaded walk (reference: src/pathtrace.cu:236-279)."""
+    N = o.shape[0]
+    num_nodes = static.num_bvh_nodes
+    offset = (
+        _mtbvh_offset(static, d)
+        if static.num_bvh_trees == 6
+        else jnp.zeros((N,), jnp.int32)
+    )
+    node0 = jnp.zeros((N,), jnp.int32)
+    max_steps = 4 * num_nodes + 4
+
+    def cond(state):
+        step, node, *_ = state
+        return jnp.any(node != -1) & (step < max_steps)
+
+    def body(state):
+        step, node, t_min, tri, u, v = state
+        active = node != -1
+        nidx = offset + jnp.clip(node, 0, num_nodes - 1)
+        nf = flat.bvh_f32[nidx]
+        ni = flat.bvh_i32[nidx]
+        box_hit, t_enter = ray_aabb(nf[:, 0:3], nf[:, 3:6], o, d)
+        box_ok = box_hit & (t_enter <= t_min)
+        is_leaf = (ni[:, 1] - ni[:, 0]) <= MAX_PRIM
+
+        tidx = jnp.clip(ni[:, 0], 0, flat.tri_data.shape[0] - 1)
+        trow = flat.tri_data[tidx]
+        th, tt, tu, tv = ray_triangle(trow[:, 0:3], trow[:, 3:6], trow[:, 6:9], o, d)
+        take = active & box_ok & is_leaf & th & (tt < t_min)
+
+        t_min = jnp.where(take, tt, t_min)
+        tri = jnp.where(take, tidx, tri)
+        u = jnp.where(take, tu, u)
+        v = jnp.where(take, tv, v)
+
+        nxt = jnp.where(box_ok, ni[:, 2], ni[:, 3])  # hit else miss link
+        node = jnp.where(active, nxt, -1)
+        return step + 1, node, t_min, tri, u, v
+
+    _, _, t_min, tri, u, v = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), node0, t_min, tri, u, v)
+    )
+    return t_min, tri, u, v
+
+
+def closest_hit(flat: FlatScene, static: SceneStatic, o, d) -> Hit:
+    """Full-scene closest hit (geoms + triangles)."""
+    N = o.shape[0]
+    t_min, geom, point, normal = _geoms_closest(flat, static, o, d)
+    tri = jnp.full((N,), -1, jnp.int32)
+    u = jnp.zeros((N,), jnp.float32)
+    v = jnp.zeros((N,), jnp.float32)
+    uv = jnp.zeros((N, 2), jnp.float32)
+    tangent = jnp.zeros((N, 3), jnp.float32)
+    bitangent = jnp.zeros((N, 3), jnp.float32)
+
+    if static.num_tris > 0:
+        t_min, tri, u, v = _bvh_closest(flat, static, o, d, t_min, tri, u, v)
+        got_tri = tri >= 0
+        tidx = jnp.clip(tri, 0, flat.tri_data.shape[0] - 1)
+        trow = flat.tri_data[tidx]
+        w0 = (1.0 - u - v)[..., None]
+        uw, vw = u[..., None], v[..., None]
+        # barycentric position/normal/uv (reference: src/pathtrace.cu:270-274)
+        p_tri = w0 * trow[:, 0:3] + uw * trow[:, 3:6] + vw * trow[:, 6:9]
+        n_tri = w0 * trow[:, 9:12] + uw * trow[:, 12:15] + vw * trow[:, 15:18]
+        uv_tri = w0 * trow[:, 18:20] + uw * trow[:, 20:22] + vw * trow[:, 22:24]
+        gm = got_tri[..., None]
+        point = jnp.where(gm, p_tri, point)
+        normal = jnp.where(gm, n_tri, normal)
+        uv = jnp.where(gm, jnp.clip(uv_tri, 0.0, 1.0), uv)
+        tangent = jnp.where(gm, trow[:, 24:27], tangent)
+        bitangent = jnp.where(gm, trow[:, 27:30], bitangent)
+        geom = jnp.where(got_tri, flat.tri_geom[tidx], geom)
+
+    return Hit(t_min, geom, tri, point, normal, uv, tangent, bitangent)
+
+
+def occlusion_test(flat: FlatScene, static: SceneStatic, ori, dir, des, enabled=None):
+    """Shadow query: is the segment ori→des blocked?
+
+    reference: src/lightSample.h:59-139 — brute-force geoms with window
+    (t < minT-1e-5 && |t-minT| > 1e-2), then BVH triangles with window
+    (t < minT-1e-5 && |t-minT| > 1e-4).
+    """
+    N = ori.shape[0]
+    min_t = jnp.sqrt(jnp.maximum(jnp.sum((des - ori) ** 2, -1), 0.0))
+    occluded = jnp.zeros((N,), bool)
+
+    def body(carry, g):
+        occluded = carry
+        gtype, xf, inv, invt = g
+        vs, ts, *_ = ray_sphere(xf, inv, invt, ori, dir)
+        vc, tc, *_ = ray_cube(xf, inv, invt, ori, dir)
+        is_sphere = gtype == SPHERE
+        is_cube = gtype == CUBE
+        valid = jnp.where(is_sphere, vs, vc) & (is_sphere | is_cube)
+        t = jnp.where(is_sphere, ts, tc)
+        blocked = valid & (t > 0.0) & (min_t - 1e-5 > t) & (jnp.abs(t - min_t) > 1e-2)
+        return occluded | blocked, None
+
+    xs = (flat.geom_type, flat.geom_transform, flat.geom_inv, flat.geom_invt)
+    occluded, _ = jax.lax.scan(body, occluded, xs)
+
+    if static.num_tris > 0:
+        num_nodes = static.num_bvh_nodes
+        offset = (
+            _mtbvh_offset(static, dir)
+            if static.num_bvh_trees == 6
+            else jnp.zeros((N,), jnp.int32)
+        )
+        start_node = jnp.where(occluded, -1, 0)  # already-occluded lanes idle
+        if enabled is not None:
+            start_node = jnp.where(enabled, start_node, -1)
+        max_steps = 4 * num_nodes + 4
+
+        def cond(state):
+            step, node, _ = state
+            return jnp.any(node != -1) & (step < max_steps)
+
+        def body2(state):
+            step, node, occluded = state
+            active = node != -1
+            nidx = offset + jnp.clip(node, 0, num_nodes - 1)
+            nf = flat.bvh_f32[nidx]
+            ni = flat.bvh_i32[nidx]
+            box_hit, t_enter = ray_aabb(nf[:, 0:3], nf[:, 3:6], ori, dir)
+            box_ok = box_hit & (t_enter <= min_t)
+            is_leaf = (ni[:, 1] - ni[:, 0]) <= MAX_PRIM
+
+            tidx = jnp.clip(ni[:, 0], 0, flat.tri_data.shape[0] - 1)
+            trow = flat.tri_data[tidx]
+            th, tt, _, _ = ray_triangle(
+                trow[:, 0:3], trow[:, 3:6], trow[:, 6:9], ori, dir
+            )
+            blocked = (
+                active
+                & box_ok
+                & is_leaf
+                & th
+                & (min_t - 1e-5 > tt)
+                & (jnp.abs(tt - min_t) > 1e-4)
+            )
+            occluded = occluded | blocked
+
+            nxt = jnp.where(box_ok, ni[:, 2], ni[:, 3])
+            node = jnp.where(active & ~blocked, nxt, -1)  # early-out on block
+            return step + 1, node, occluded
+
+        _, _, occluded = jax.lax.while_loop(
+            cond, body2, (jnp.int32(0), start_node, occluded)
+        )
+    return occluded
