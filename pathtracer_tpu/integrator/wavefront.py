@@ -66,13 +66,20 @@ class CameraArrays(NamedTuple):
     pixel_length: jnp.ndarray  # (2,)
 
 
-def camera_rays(cam: CameraArrays, width: int, height: int, key, iteration):
-    """Per-pixel AA-jittered primary rays (reference: src/pathtrace.cu:135-163)."""
-    n = width * height
-    idx = jnp.arange(n, dtype=jnp.int32)
+def camera_rays(
+    cam: CameraArrays, width: int, height: int, key, iteration, pixel0=0, local_n=None
+):
+    """Per-pixel AA-jittered primary rays (reference: src/pathtrace.cu:135-163).
+
+    `width`/`height` are the FULL image resolution (they center the film
+    plane); `pixel0` + `local_n` select this shard's contiguous pixel range
+    (defaults: the whole frame).
+    """
+    n = local_n if local_n is not None else width * height
+    idx = pixel0 + jnp.arange(n, dtype=jnp.int32)
     x = (idx % width).astype(jnp.float32)
     y = (idx // width).astype(jnp.float32)
-    r = rng.uniforms(key, iteration, 0, rng.STAGE_CAMERA, (n, 2))
+    r = rng.pixel_uniforms(key, iteration, 0, rng.STAGE_CAMERA, idx, 2)
     px = x + (r[:, 0] - 0.5) - width * 0.5
     py = y + (r[:, 1] - 0.5) - height * 0.5
     d = m.normalize(
@@ -111,19 +118,26 @@ def _apply_normal_map(hit, params):
 
 
 def make_render_iteration(
-    static: SceneStatic, opts: RenderOptions, width: int, height: int
+    static: SceneStatic,
+    opts: RenderOptions,
+    width: int,
+    height: int,
+    local_rows: int | None = None,
 ):
     """Build the jittable one-iteration render function.
 
-    Returns f(flat, cam, img, iteration, key) -> (img, rays_traced).
-    `img` is the running radiance SUM over iterations, (W·H, 3) float32
-    (display divides by the iteration count, like the reference's dev_image).
+    Returns f(flat, cam, img, iteration, key, pixel0=0) -> (img, rays_traced).
+    `img` is the running radiance SUM over iterations, (local_rows·W, 3)
+    float32 (display divides by the iteration count, like the reference's
+    dev_image).  `width`/`height` are the FULL film resolution;
+    `local_rows` (default: height) is how many contiguous rows this pool
+    covers, starting at pixel `pixel0` — the device-mesh sharding hook.
     """
-    n = width * height
+    n = width * (local_rows if local_rows is not None else height)
     mode = opts.sample_mode
     trace_depth = static.trace_depth
 
-    def bounce_body(flat: FlatScene, key, iteration, state: _BounceState):
+    def bounce_body(flat: FlatScene, key, iteration, pixel_idx, state: _BounceState):
         depth = state.depth
         alive = state.alive
         hit = closest_hit(flat, static, state.o, state.d)
@@ -150,13 +164,13 @@ def make_render_iteration(
         is_light = params.type == LIGHT
         is_delta = params.type == DIELECTRIC
 
-        sc_rand = rng.uniforms(key, iteration, depth, rng.STAGE_SCATTER, (n, 3))
+        sc_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_SCATTER, pixel_idx, 3)
         srec = scatter_sample(params, nrm, state.d, sc_rand)
         pdf_ok = srec.pdf != 0.0
 
         if mode == SampleMode.DIRECT_LI:
             # reference: src/pathtrace.cu:348-403 — one NEE bounce, then stop
-            li_rand = rng.uniforms(key, iteration, depth, rng.STAGE_LIGHT, (n, 3))
+            li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 3)
             lrec = light_sample(flat, static, hit.point, li_rand)
             rays_traced = rays_traced + jnp.sum((alive & ~is_light).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
@@ -204,7 +218,7 @@ def make_render_iteration(
 
         # --- NEE term (MIS only, non-delta) ---
         if mode == SampleMode.MIS:
-            li_rand = rng.uniforms(key, iteration, depth, rng.STAGE_LIGHT, (n, 3))
+            li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 3)
             lrec = light_sample(flat, static, hit.point, li_rand)
             rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
@@ -248,8 +262,11 @@ def make_render_iteration(
             depth + 1, o, d, color, prev_pdf, remaining, alive, img, rays_traced
         )
 
-    def render_iteration(flat: FlatScene, cam: CameraArrays, img, iteration, key):
-        o, d = camera_rays(cam, width, height, key, iteration)
+    def render_iteration(
+        flat: FlatScene, cam: CameraArrays, img, iteration, key, pixel0=0
+    ):
+        pixel_idx = pixel0 + jnp.arange(n, dtype=jnp.int32)
+        o, d = camera_rays(cam, width, height, key, iteration, pixel0, local_n=n)
         state = _BounceState(
             depth=jnp.int32(0),
             o=o,
@@ -266,7 +283,7 @@ def make_render_iteration(
             return jnp.any(s.alive) & (s.depth < trace_depth + 1)
 
         state = jax.lax.while_loop(
-            cond, partial(bounce_body, flat, key, iteration), state
+            cond, partial(bounce_body, flat, key, iteration, pixel_idx), state
         )
         return state.img, state.rays_traced
 

@@ -31,5 +31,55 @@ def stream(key: jax.Array, iteration, depth, stage: int) -> jax.Array:
 
 
 def uniforms(key: jax.Array, iteration, depth, stage: int, shape) -> jax.Array:
-    """U[0,1) block for one wavefront stage."""
+    """U[0,1) block for one wavefront stage (lane-indexed; single-shard only)."""
     return jax.random.uniform(stream(key, iteration, depth, stage), shape, jnp.float32)
+
+
+def _threefry2x32(k0, k1, x0, x1):
+    """Threefry-2x32 (20 rounds), hand-vectorized over counter arrays.
+
+    Same algorithm family as JAX's PRNG but implemented with public jnp ops
+    so it vectorizes as plain VPU code (the jax.vmap(fold_in) formulation
+    materialized per-lane key pairs and was ~3x slower on TPU).
+    """
+    rotations = ((13, 15, 26, 6), (17, 29, 16, 24))
+    k2 = k0 ^ k1 ^ jnp.uint32(0x1BD11BDA)
+    ks = (k0, k1, k2)
+
+    def rotl(v, r):
+        return (v << jnp.uint32(r)) | (v >> jnp.uint32(32 - r))
+
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+    for d in range(5):
+        for r in rotations[d % 2]:
+            x0 = x0 + x1
+            x1 = rotl(x1, r)
+            x1 = x0 ^ x1
+        x0 = x0 + ks[(d + 1) % 3]
+        x1 = x1 + ks[(d + 2) % 3] + jnp.uint32(d + 1)
+    return x0, x1
+
+
+def pixel_uniforms(
+    key: jax.Array, iteration, depth, stage: int, pixel_idx: jax.Array, ncols: int
+) -> jax.Array:
+    """U[0,1) block keyed by GLOBAL pixel index, (N, ncols).
+
+    Position-based rather than lane-based: pixel p draws the same values
+    whether the pool is whole or sharded across a device mesh, so
+    single-chip and multi-chip renders agree (the TPU analogue of the
+    reference's per-pixel hash seeding,
+    reference: src/pathtrace.cu:25-29,148).
+    """
+    k = stream(key, iteration, depth, stage)
+    kd = jax.random.key_data(k).astype(jnp.uint32).reshape(-1)
+    k0 = jnp.broadcast_to(kd[0], pixel_idx.shape)
+    k1 = jnp.broadcast_to(kd[-1], pixel_idx.shape)
+    cols = []
+    pix = pixel_idx.astype(jnp.uint32)
+    for c in range(ncols):
+        x0, x1 = _threefry2x32(k0, k1, pix, jnp.full_like(pix, jnp.uint32(c)))
+        # uint32 → U[0,1): take 23 mantissa bits (standard construction)
+        cols.append((x0 >> jnp.uint32(9)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 23)))
+    return jnp.stack(cols, axis=-1)

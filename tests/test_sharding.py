@@ -1,0 +1,149 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+Validates the TPU scale-out design (SURVEY.md §2 parallelism table): the
+pixel-sharded render must be bitwise identical to a single-device render of
+the same shard shape (position-keyed RNG), and statistically identical to
+the full-frame render.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pathtracer_tpu.integrator.wavefront import CameraArrays, make_render_iteration
+from pathtracer_tpu.parallel import sharding as sh
+from pathtracer_tpu.scene.camera import derive_camera
+from pathtracer_tpu.scene.flatscene import build_flat_scene
+from pathtracer_tpu.scene.parser import load_scene
+from pathtracer_tpu.utils import rng
+from pathtracer_tpu.utils.config import RenderOptions, SampleMode
+
+
+@pytest.fixture(scope="module")
+def setup(reference_scenes):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    scene = load_scene(reference_scenes / "cornell.txt")
+    scene.camera.resolution = (64, 64)
+    flat, static = build_flat_scene(scene)
+    opts = RenderOptions(sample_mode=SampleMode.MIS)
+    p, v, u, r, pl = derive_camera(scene.camera).as_arrays()
+    cam = CameraArrays(
+        jnp.asarray(p), jnp.asarray(v), jnp.asarray(u), jnp.asarray(r), jnp.asarray(pl)
+    )
+    return flat, static, opts, cam
+
+
+class TestPixelSharding:
+    def test_shard_bitwise_matches_same_shape_single(self, setup):
+        flat, static, opts, cam = setup
+        key = rng.base_key(0)
+        mesh = sh.make_mesh(8)
+        step, _, ph = sh.make_sharded_iteration(static, opts, 64, 64, mesh)
+        img = sh.zeros_image(64, 64, mesh)
+        img, rays = step(flat, cam, img, jnp.int32(1), key)
+        sharded = sh.fetch_image(img, 64, 64)
+        assert int(rays) > 0
+
+        local = jax.jit(make_render_iteration(static, opts, 64, 64, local_rows=8))
+        for d in (0, 3, 7):
+            img1 = jnp.zeros((512, 3), jnp.float32)
+            img1, _ = local(flat, cam, img1, jnp.int32(1), key, jnp.int32(d * 512))
+            np.testing.assert_array_equal(
+                sharded[d * 8 : (d + 1) * 8], np.asarray(img1).reshape(8, 64, 3)
+            )
+
+    def test_statistical_agreement_with_full_frame(self, tmp_path):
+        # firefly-free scene (no delta lobes) so image means are
+        # well-behaved: a lambertian box with a sphere light
+        import textwrap
+
+        scene_file = tmp_path / "box.txt"
+        scene_file.write_text(
+            textwrap.dedent(
+                """
+                MATERIAL light
+                TYPE\tLight
+                ALBEDO      6 6 6
+                METALLIC    0
+                ROUGHNESS   0
+                IOR         0
+
+                MATERIAL white
+                TYPE\tLambertian
+                ALBEDO      .8 .8 .8
+                METALLIC    0
+                ROUGHNESS   0
+                IOR         0
+
+                CAMERA
+                RES         64 64
+                FOVY        45
+                ITERATIONS  10
+                DEPTH       4
+                FILE        box
+                EYE         0 2.5 6
+                LOOKAT      0 2.5 0
+                UP          0 1 0
+
+                OBJECT floor
+                cube
+                material white
+                TRANS       0 0 0
+                ROTAT       0 0 0
+                SCALE       10 .01 10
+
+                OBJECT lamp
+                sphere
+                material light
+                TRANS       0 4.5 0
+                ROTAT       0 0 0
+                SCALE       1 1 1
+                """
+            )
+        )
+        scene = load_scene(scene_file)
+        flat, static = build_flat_scene(scene)
+        opts = RenderOptions(sample_mode=SampleMode.MIS)
+        p, v, u, r, pl = derive_camera(scene.camera).as_arrays()
+        cam = CameraArrays(*[jnp.asarray(x) for x in (p, v, u, r, pl)])
+        key = rng.base_key(0)
+        mesh = sh.make_mesh(8)
+        step, _, _ = sh.make_sharded_iteration(static, opts, 64, 64, mesh)
+        img = sh.zeros_image(64, 64, mesh)
+        full = jax.jit(make_render_iteration(static, opts, 64, 64))
+        img1 = jnp.zeros((64 * 64, 3), jnp.float32)
+        iters = 32
+        for it in range(1, iters + 1):
+            img, _ = step(flat, cam, img, jnp.int32(it), key)
+            img1, _ = full(flat, cam, img1, jnp.int32(it), key)
+        a = sh.fetch_image(img, 64, 64) / iters
+        b = np.asarray(img1).reshape(64, 64, 3) / iters
+        # identical RNG streams; residual differences only from
+        # shape-dependent XLA float codegen flipping chaotic per-path
+        # decisions, unbiased on both sides
+        assert abs(a.mean() - b.mean()) / b.mean() < 0.03
+        ta = np.clip(a, 0, 1) ** (1 / 2.2)
+        tb = np.clip(b, 0, 1) ** (1 / 2.2)
+        rmse = np.sqrt(((ta - tb) ** 2).mean())
+        assert rmse < 0.05, f"rmse={rmse}"
+
+    def test_row_padding(self):
+        assert sh.padded_height(64, 8) == 64
+        assert sh.padded_height(100, 8) == 104
+        assert sh.padded_height(1, 8) == 8
+
+    def test_padded_resolution_renders(self, setup):
+        flat, static, opts, cam = setup
+        # 100 rows over 8 devices → 104 padded; out-of-frame rows are
+        # harmless extra pixels (y beyond height renders sky/walls)
+        key = rng.base_key(0)
+        mesh = sh.make_mesh(8)
+        step, _, ph = sh.make_sharded_iteration(static, opts, 64, 100, mesh)
+        assert ph == 104
+        img = sh.zeros_image(64, 100, mesh)
+        img, _ = step(flat, cam, img, jnp.int32(1), key)
+        out = sh.fetch_image(img, 64, 100)
+        assert out.shape == (100, 64, 3)
+        assert np.isfinite(out).all()
