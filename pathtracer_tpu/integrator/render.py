@@ -68,12 +68,33 @@ class Renderer:
         self.flat, self.static = build_flat_scene(scene)
         self.width, self.height = scene.camera.resolution
         self.camera: RenderCamera = derive_camera(scene.camera)
-        self._iter_fn = jax.jit(
-            make_render_iteration(self.static, self.opts, self.width, self.height)
-        )
+        builder = make_render_iteration(self.static, self.opts, self.width, self.height)
+        # Scenes with triangles run STAGED (host loop over jitted bounce
+        # stages): the fused variant nests the BVH-traversal while_loop
+        # inside the bounce while_loop, which the TPU toolchain compiles
+        # pathologically slowly.  Triangle-less scenes keep the fused
+        # single-dispatch path (no per-bounce host round trip at all).
+        self.staged = self.static.num_tris > 0
+        if self.staged:
+            self._start_fn = jax.jit(builder.start_state)
+            self._bounce_fn = jax.jit(builder.bounce_step)
+        else:
+            self._iter_fn = jax.jit(builder)
         self.key = rng.base_key(0)
         self.reset()
         self.stats = RenderStats()
+
+    def _run_iteration(self, cam, iteration):
+        """One progressive sample for every pixel; returns (img, rays)."""
+        it = jnp.int32(iteration)
+        if not self.staged:
+            return self._iter_fn(self.flat, cam, self.img, it, self.key)
+        state = self._start_fn(self.flat, cam, self.img, it, self.key)
+        for _ in range(self.static.trace_depth + 1):
+            state, alive = self._bounce_fn(self.flat, self.key, it, state)
+            if int(alive) == 0:
+                break
+        return state.img, state.rays_traced
 
     # -- state --------------------------------------------------------------
     def reset(self):
@@ -104,9 +125,7 @@ class Renderer:
         first = self.iteration == 0 and self.stats.compile_seconds == 0.0
         if first:
             t0 = time.perf_counter()
-            img, rays = self._iter_fn(
-                self.flat, cam, self.img, jnp.int32(self.iteration + 1), self.key
-            )
+            img, rays = self._run_iteration(cam, self.iteration + 1)
             jax.block_until_ready(img)
             self.stats.compile_seconds = time.perf_counter() - t0
             self.img = img
@@ -118,9 +137,7 @@ class Renderer:
         t0 = time.perf_counter()
         rays_total = jnp.int32(0)
         for _ in range(num_iterations):
-            self.img, rays = self._iter_fn(
-                self.flat, cam, self.img, jnp.int32(self.iteration + 1), self.key
-            )
+            self.img, rays = self._run_iteration(cam, self.iteration + 1)
             rays_total = rays_total + rays
             self.iteration += 1
         jax.block_until_ready(self.img)

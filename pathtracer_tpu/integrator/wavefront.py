@@ -287,4 +287,37 @@ def make_render_iteration(
         )
         return state.img, state.rays_traced
 
+    def start_state(flat: FlatScene, cam: CameraArrays, img, iteration, key, pixel0=0):
+        """Staged-mode entry: build the initial wavefront (raygen only)."""
+        o, d = camera_rays(cam, width, height, key, iteration, pixel0, local_n=n)
+        return _BounceState(
+            depth=jnp.int32(0),
+            o=o,
+            d=d,
+            color=jnp.ones((n, 3), jnp.float32),
+            prev_pdf=jnp.full((n,), -1.0, jnp.float32),
+            remaining=jnp.full((n,), trace_depth, jnp.int32),
+            alive=jnp.ones((n,), bool),
+            img=img,
+            rays_traced=jnp.int32(0),
+        )
+
+    def bounce_step(flat: FlatScene, key, iteration, state: _BounceState, pixel0=0):
+        """Staged-mode body: ONE intersect+shade pass over the pool.
+
+        Identical math to the fused while_loop body, but dispatched from a
+        host loop — one jit per bounce, no nested dynamic loops.  (Nested
+        `lax.while_loop`s — bounce loop around the BVH traversal loop —
+        compile pathologically slowly on the TPU toolchain, so scenes with
+        triangles run staged; see integrator/render.py.)
+        Returns (state, alive_count) so the host can early-exit like the
+        reference's `num_paths == 0` check (reference: src/pathtrace.cu:790).
+        """
+        pixel_idx = pixel0 + jnp.arange(n, dtype=jnp.int32)
+        state = bounce_body(flat, key, iteration, pixel_idx, state)
+        return state, jnp.sum(state.alive.astype(jnp.int32))
+
+    render_iteration.start_state = start_state
+    render_iteration.bounce_step = bounce_step
+    render_iteration.trace_depth = trace_depth
     return render_iteration
