@@ -25,13 +25,26 @@ from pathtracer_tpu.ops.math import cross, dot, length, normalize
 
 
 def xform_point(m, p):
-    """(4,4) @ [p, 1] → (...,3).  m may be (4,4) or batched (...,4,4)."""
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+    """(4,4) @ [p, 1] → (...,3).  m may be (4,4) or batched (...,4,4).
+
+    Written as explicit multiply-adds, NOT einsum/dot: on TPU a 3-wide f32
+    matmul is routed to the MXU, whose default precision is bfloat16 —
+    the ~0.4% relative error shifted intersection distances enough to
+    break the occlusion epsilon windows (observed as false shadowing on
+    sphere lights).  Elementwise ops stay on the VPU in full float32.
+    """
+    x = m[..., 0, 0] * p[..., 0] + m[..., 0, 1] * p[..., 1] + m[..., 0, 2] * p[..., 2] + m[..., 0, 3]
+    y = m[..., 1, 0] * p[..., 0] + m[..., 1, 1] * p[..., 1] + m[..., 1, 2] * p[..., 2] + m[..., 1, 3]
+    z = m[..., 2, 0] * p[..., 0] + m[..., 2, 1] * p[..., 1] + m[..., 2, 2] * p[..., 2] + m[..., 2, 3]
+    return jnp.stack([x, y, z], axis=-1)
 
 
 def xform_vector(m, v):
-    """(4,4) @ [v, 0] → (...,3)."""
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+    """(4,4) @ [v, 0] → (...,3); VPU multiply-adds (see xform_point)."""
+    x = m[..., 0, 0] * v[..., 0] + m[..., 0, 1] * v[..., 1] + m[..., 0, 2] * v[..., 2]
+    y = m[..., 1, 0] * v[..., 0] + m[..., 1, 1] * v[..., 1] + m[..., 1, 2] * v[..., 2]
+    z = m[..., 2, 0] * v[..., 0] + m[..., 2, 1] * v[..., 1] + m[..., 2, 2] * v[..., 2]
+    return jnp.stack([x, y, z], axis=-1)
 
 
 def ray_sphere(transform, inverse_transform, inv_transpose, o, d):
