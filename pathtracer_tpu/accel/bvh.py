@@ -51,6 +51,8 @@ class FlatBVH:
     num_nodes: int
     num_trees: int
     order: np.ndarray     # (T,) permutation applied to the input triangles
+    left: np.ndarray = None   # (N,) int32 explicit child links (tree 0) —
+    right: np.ndarray = None  # consumed by the Pallas packet traversal
 
 
 def _surface_area(pmin: np.ndarray, pmax: np.ndarray) -> float:
@@ -66,7 +68,7 @@ def build_bvh(tri_verts: np.ndarray, use_sah: bool = True, mtbvh: bool = True) -
     if T == 0:
         z3 = np.zeros((0, 3), np.float32)
         zi = np.zeros((0,), np.int32)
-        return FlatBVH(z3, z3, zi, zi, zi, zi, 0, 6 if mtbvh else 1, np.zeros(0, np.int64))
+        return FlatBVH(z3, z3, zi, zi, zi, zi, 0, 6 if mtbvh else 1, np.zeros(0, np.int64), zi, zi)
 
     bmin_tri = tri_verts.min(axis=1)  # (T,3)
     bmax_tri = tri_verts.max(axis=1)
@@ -181,7 +183,7 @@ def build_bvh(tri_verts: np.ndarray, use_sah: bool = True, mtbvh: bool = True) -
 
     if not mtbvh:
         hit, miss = _thread_links(left, right, parent)
-        return FlatBVH(bmin, bmax, start_a, end_a, hit, miss, n, 1, order)
+        return FlatBVH(bmin, bmax, start_a, end_a, hit, miss, n, 1, order, left, right)
 
     hits = np.empty((6, n), np.int32)
     misses = np.empty((6, n), np.int32)
@@ -227,6 +229,8 @@ def build_bvh(tri_verts: np.ndarray, use_sah: bool = True, mtbvh: bool = True) -
         n,
         6,
         order,
+        left,
+        right,
     )
 
 

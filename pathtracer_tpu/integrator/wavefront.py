@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from pathtracer_tpu.ops import math as m
 from pathtracer_tpu.ops.lights import light_pdf, light_sample
 from pathtracer_tpu.ops.materials import (
-    gather_material,
+    material_by_geom,
     pdf_eval,
     bsdf_eval,
     scatter_sample,
@@ -67,18 +67,24 @@ class CameraArrays(NamedTuple):
 
 
 def camera_rays(
-    cam: CameraArrays, width: int, height: int, key, iteration, pixel0=0, local_n=None
+    cam: CameraArrays, width: int, height: int, key, iteration, pixel0=0,
+    local_n=None, pixel_xy=None,
 ):
     """Per-pixel AA-jittered primary rays (reference: src/pathtrace.cu:135-163).
 
     `width`/`height` are the FULL image resolution (they center the film
     plane); `pixel0` + `local_n` select this shard's contiguous pixel range
-    (defaults: the whole frame).
+    (defaults: the whole frame).  `pixel_xy` optionally overrides the
+    lane→pixel mapping with precomputed (xs, ys) arrays — the spatial
+    swizzle that makes traversal packets coherent.
     """
     n = local_n if local_n is not None else width * height
     idx = pixel0 + jnp.arange(n, dtype=jnp.int32)
-    x = (idx % width).astype(jnp.float32)
-    y = (idx // width).astype(jnp.float32)
+    if pixel_xy is not None:
+        x, y = pixel_xy
+    else:
+        x = (idx % width).astype(jnp.float32)
+        y = (idx // width).astype(jnp.float32)
     r = rng.pixel_uniforms(key, iteration, 0, rng.STAGE_CAMERA, idx, 2)
     px = x + (r[:, 0] - 0.5) - width * 0.5
     py = y + (r[:, 1] - 0.5) - height * 0.5
@@ -123,6 +129,7 @@ def make_render_iteration(
     width: int,
     height: int,
     local_rows: int | None = None,
+    pixel_xy=None,
 ):
     """Build the jittable one-iteration render function.
 
@@ -136,11 +143,17 @@ def make_render_iteration(
     n = width * (local_rows if local_rows is not None else height)
     mode = opts.sample_mode
     trace_depth = static.trace_depth
+    use_pallas = bool(opts.pallas_traversal) and static.num_tris > 0
+    # pool→pixel map (spatial swizzle for packet coherence); identity when
+    # pixel_xy is None
+    xs_ys = pixel_xy
 
     def bounce_body(flat: FlatScene, key, iteration, pixel_idx, state: _BounceState):
         depth = state.depth
         alive = state.alive
-        hit = closest_hit(flat, static, state.o, state.d)
+        hit = closest_hit(
+            flat, static, state.o, state.d, use_pallas=use_pallas, alive=alive
+        )
         rays_traced = state.rays_traced + jnp.sum(alive.astype(jnp.int32))
 
         miss = hit.geom < 0
@@ -158,8 +171,7 @@ def make_render_iteration(
             )
         alive = alive & ~miss
 
-        mat_id = flat.geom_mat[jnp.clip(hit.geom, 0, flat.geom_mat.shape[0] - 1)]
-        params = gather_material(flat, static, mat_id, hit.uv)
+        params = material_by_geom(flat, static, hit.geom, hit.uv)
         nrm = _apply_normal_map(hit, params)
         is_light = params.type == LIGHT
         is_delta = params.type == DIELECTRIC
@@ -171,7 +183,7 @@ def make_render_iteration(
         if mode == SampleMode.DIRECT_LI:
             # reference: src/pathtrace.cu:348-403 — one NEE bounce, then stop
             li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 3)
-            lrec = light_sample(flat, static, hit.point, li_rand)
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas)
             rays_traced = rays_traced + jnp.sum((alive & ~is_light).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             bsdf = bsdf_eval(params, nrm, state.d, wi)
@@ -219,7 +231,7 @@ def make_render_iteration(
         # --- NEE term (MIS only, non-delta) ---
         if mode == SampleMode.MIS:
             li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 3)
-            lrec = light_sample(flat, static, hit.point, li_rand)
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas)
             rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             b_pdf = pdf_eval(params, nrm, state.d, wi)
@@ -266,7 +278,9 @@ def make_render_iteration(
         flat: FlatScene, cam: CameraArrays, img, iteration, key, pixel0=0
     ):
         pixel_idx = pixel0 + jnp.arange(n, dtype=jnp.int32)
-        o, d = camera_rays(cam, width, height, key, iteration, pixel0, local_n=n)
+        o, d = camera_rays(
+            cam, width, height, key, iteration, pixel0, local_n=n, pixel_xy=xs_ys
+        )
         state = _BounceState(
             depth=jnp.int32(0),
             o=o,
@@ -289,7 +303,9 @@ def make_render_iteration(
 
     def start_state(flat: FlatScene, cam: CameraArrays, img, iteration, key, pixel0=0):
         """Staged-mode entry: build the initial wavefront (raygen only)."""
-        o, d = camera_rays(cam, width, height, key, iteration, pixel0, local_n=n)
+        o, d = camera_rays(
+            cam, width, height, key, iteration, pixel0, local_n=n, pixel_xy=xs_ys
+        )
         return _BounceState(
             depth=jnp.int32(0),
             o=o,

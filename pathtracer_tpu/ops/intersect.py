@@ -106,16 +106,63 @@ def ray_cube(transform, inverse_transform, inv_transpose, o, d):
     axis = jnp.where(inside, tmax_axis, tmin_axis)
     outside = hit & ~inside
 
-    sign = jnp.take_along_axis(n_sign, axis[..., None], axis=-1)[..., 0]
-    n_obj = (
-        jnp.eye(3, dtype=ro.dtype)[axis] * sign[..., None]
-    )
+    # select-based (no gathers: take_along_axis / eye[axis] over tiny
+    # tables lowered to ~70 ms serial gathers per bounce on TPU)
+    is0 = (axis == 0)[..., None]
+    is1 = (axis == 1)[..., None]
+    sign = jnp.where(
+        axis == 0,
+        n_sign[..., 0],
+        jnp.where(axis == 1, n_sign[..., 1], n_sign[..., 2]),
+    )[..., None]
+    basis0 = jnp.array([1.0, 0.0, 0.0], ro.dtype)
+    basis1 = jnp.array([0.0, 1.0, 0.0], ro.dtype)
+    basis2 = jnp.array([0.0, 0.0, 1.0], ro.dtype)
+    n_obj = jnp.where(is0, basis0, jnp.where(is1, basis1, basis2)) * sign
 
     p_obj = ro + (t_obj - 1e-4)[..., None] * rd
     point = xform_point(transform, p_obj)
     normal = normalize(xform_vector(inv_transpose, n_obj))
     t = length(point - o)
     return hit, t, point, normal, outside
+
+
+def ray_sphere_t(transform, inverse_transform, o, d):
+    """Distance-only sphere test (valid, t) — the hot inner loop of the
+    geom sweep; point/normal are recomputed once for the winning geom."""
+    ro = xform_point(inverse_transform, o)
+    rd = normalize(xform_vector(inverse_transform, d))
+    vdd = dot(ro, rd)
+    radicand = vdd * vdd - (dot(ro, ro) - 0.25)
+    has_root = radicand >= 0.0
+    root = jnp.sqrt(jnp.maximum(radicand, 0.0))
+    t1 = -vdd + root
+    t2 = -vdd - root
+    both_neg = (t1 < 0.0) & (t2 < 0.0)
+    both_pos = (t1 > 0.0) & (t2 > 0.0)
+    t_obj = jnp.where(both_pos, jnp.minimum(t1, t2), jnp.maximum(t1, t2))
+    valid = has_root & ~both_neg
+    p_obj = ro + (t_obj - 1e-4)[..., None] * rd
+    t = length(xform_point(transform, p_obj) - o)
+    return valid, t
+
+
+def ray_cube_t(transform, inverse_transform, o, d):
+    """Distance-only cube test (valid, t)."""
+    ro = xform_point(inverse_transform, o)
+    rd = normalize(xform_vector(inverse_transform, d))
+    t1 = (-0.5 - ro) / rd
+    t2 = (0.5 - ro) / rd
+    ta = jnp.minimum(t1, t2)
+    tb = jnp.maximum(t1, t2)
+    ta_gated = jnp.where(ta > 0.0, ta, -1e38)
+    tmin = jnp.max(ta_gated, axis=-1)
+    tmax = jnp.min(tb, axis=-1)
+    hit = (tmax >= tmin) & (tmax > 0.0)
+    t_obj = jnp.where(tmin <= 0.0, tmax, tmin)
+    p_obj = ro + (t_obj - 1e-4)[..., None] * rd
+    t = length(xform_point(transform, p_obj) - o)
+    return hit, t
 
 
 def ray_triangle(v0, v1, v2, o, d):

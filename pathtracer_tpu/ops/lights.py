@@ -15,6 +15,11 @@ documented quirks (SURVEY.md §2 row 12, §7):
   f²/(f²+1)) (reference: lightSample.h:171-234,141-169)
 - occlusion ray starts at viewPos + 1e-5·dir (reference: lightSample.h:237)
 - occluded ⇒ pdf = -1, emit = 0 (reference: lightSample.h:238-243)
+
+Performance note: analytic (sphere/cube) lights are UNROLLED over the
+static light list so their transforms fold to compile-time constants —
+per-ray gathered (N,4,4) matrices tile as T(4,128) on TPU and every
+element extract becomes a >100 ms strided slice+reduce.
 """
 
 from __future__ import annotations
@@ -45,11 +50,9 @@ def _tri_light_geometry(flat: FlatScene, tri_id):
     return v0, v1, v2, n0, n1, n2
 
 
-def _sphere_cone_sample(flat: FlatScene, geom_id, view_pos, xi):
-    """Cone sampling toward a sphere light (reference: lightSample.h:202-234)."""
-    gid = jnp.clip(geom_id, 0, flat.geom_transform.shape[0] - 1)
-    tr = flat.geom_transform[gid]
-    inv = flat.geom_inv[gid]
+def _sphere_cone_sample_const(tr, inv, view_pos, xi):
+    """Cone sampling toward ONE sphere light with compile-time-constant
+    transforms (reference: lightSample.h:202-234)."""
     view_l = xform_point(inv, view_pos)
     center_to_ref = m.normalize(-view_l)
     tan, bit = m.onb_pixar(center_to_ref)
@@ -62,9 +65,7 @@ def _sphere_cone_sample(flat: FlatScene, geom_id, view_pos, xi):
     phi = xi[:, 1] * TWO_PI
 
     dc = jnp.sqrt(jnp.maximum(d2, 0.0))
-    ds = dc * cos_t - jnp.sqrt(
-        jnp.maximum(0.0, 0.25 - dc * dc * sin_t * sin_t)
-    )
+    ds = dc * cos_t - jnp.sqrt(jnp.maximum(0.0, 0.25 - dc * dc * sin_t * sin_t))
     sin_a = ds * sin_t / 0.5
     cos_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_a * sin_a))
 
@@ -79,8 +80,27 @@ def _sphere_cone_sample(flat: FlatScene, geom_id, view_pos, xi):
     return light_pos, pdf
 
 
+def _sphere_cone_pdf_const(inv, view_pos):
+    """Solid-angle pdf of the cone toward one sphere light
+    (reference: lightSample.h:157-167)."""
+    view_l = xform_point(inv, view_pos)
+    sin_tm2 = 0.25 / jnp.maximum(m.dot(view_l, view_l), 1e-12)
+    cos_tm = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_tm2))
+    return 1.0 / (TWO_PI * (1.0 - cos_tm))
+
+
+def _emit_color_by_geom(flat: FlatScene, static: SceneStatic, geom_idx):
+    """Light albedo via static geom→material chain (no tiny-table gathers)."""
+    f = flat.mat_f32
+    out = jnp.zeros(geom_idx.shape + (3,), jnp.float32)
+    for gi, mid in enumerate(static.geom_mats):
+        val = jnp.stack([f[0, mid], f[1, mid], f[2, mid]], axis=-1)
+        out = jnp.where((geom_idx == gi)[..., None], val, out)
+    return out
+
+
 def light_sample(
-    flat: FlatScene, static: SceneStatic, view_pos, rands
+    flat: FlatScene, static: SceneStatic, view_pos, rands, use_pallas: bool = False
 ) -> LightSampleRecord:
     """Sample one light per ray, with occlusion.
 
@@ -100,42 +120,51 @@ def light_sample(
     lid = jnp.clip(light_id, 0, flat.light_geom.shape[0] - 1)
     geom_id = flat.light_geom[lid]
     tri_id = flat.light_tri[lid]
-    ltype = flat.light_type[lid]
-    mat_id = flat.geom_mat[jnp.clip(geom_id, 0, flat.geom_mat.shape[0] - 1)]
-    emit = flat.mat_f32[jnp.clip(mat_id, 0, flat.mat_f32.shape[0] - 1)][:, 0:3]
+    emit = _emit_color_by_geom(flat, static, geom_id)
 
     xi = rands[:, 1:3]
     inv_l = 1.0 / fl
 
+    light_pos = jnp.zeros((N, 3), jnp.float32)
+    pdf = jnp.zeros((N,), jnp.float32)
+
     # triangle branch (reference: lightSample.h:186-200) — note the
     # reference's barycentric convention: pos = u·v0 + v·v1 + (1-u-v)·v2
-    bary = m.sample_triangle_uniform(xi)
-    u, v = bary[:, 0], bary[:, 1]
-    v0, v1, v2, n0, n1, n2 = _tri_light_geometry(flat, tri_id)
-    tri_pos = u[..., None] * v0 + v[..., None] * v1 + (1.0 - u - v)[..., None] * v2
-    tri_nrm = m.normalize(
-        u[..., None] * n0 + v[..., None] * n1 + (1.0 - u - v)[..., None] * n2
-    )
-    area = m.length(m.cross(v1 - v0, v2 - v0)) / 2.0
-    d2 = m.length2(tri_pos - view_pos)
-    cos_l = jnp.abs(m.dot(m.normalize(view_pos - tri_pos), tri_nrm))
-    tri_pdf = inv_l * d2 / jnp.maximum(area * cos_l, 1e-38)
-
-    # sphere branch (reference: lightSample.h:202-234)
-    sph_pos, sph_pdf_solid = _sphere_cone_sample(flat, geom_id, view_pos, xi)
-    sph_pdf = sph_pdf_solid * inv_l
-
     is_tri = tri_id >= 0
-    is_sphere = (~is_tri) & (ltype == SPHERE)
-    light_pos = jnp.where(
-        is_tri[..., None], tri_pos, jnp.where(is_sphere[..., None], sph_pos, 0.0)
-    )
-    pdf = jnp.where(is_tri, tri_pdf, jnp.where(is_sphere, sph_pdf, 0.0))
+    if L > len(static.analytic_lights):  # triangle lights exist
+        bary = m.sample_triangle_uniform(xi)
+        u, v = bary[:, 0], bary[:, 1]
+        v0, v1, v2, n0, n1, n2 = _tri_light_geometry(flat, tri_id)
+        tri_pos = (
+            u[..., None] * v0 + v[..., None] * v1 + (1.0 - u - v)[..., None] * v2
+        )
+        tri_nrm = m.normalize(
+            u[..., None] * n0 + v[..., None] * n1 + (1.0 - u - v)[..., None] * n2
+        )
+        area = m.length(m.cross(v1 - v0, v2 - v0)) / 2.0
+        d2 = m.length2(tri_pos - view_pos)
+        cos_l = jnp.abs(m.dot(m.normalize(view_pos - tri_pos), tri_nrm))
+        tri_pdf = inv_l * d2 / jnp.maximum(area * cos_l, 1e-38)
+        tm = is_tri[..., None]
+        light_pos = jnp.where(tm, tri_pos, light_pos)
+        pdf = jnp.where(is_tri, tri_pdf, pdf)
+
+    # analytic lights, unrolled over the static list (constant transforms);
+    # cubes intentionally have no branch (pdf stays 0)
+    for li, gi, gtype in static.analytic_lights:
+        if gtype != SPHERE:
+            continue
+        p_i, pdf_i = _sphere_cone_sample_const(
+            flat.geom_transform[gi], flat.geom_inv[gi], view_pos, xi
+        )
+        sel = light_id == li
+        light_pos = jnp.where(sel[..., None], p_i, light_pos)
+        pdf = jnp.where(sel, pdf_i * inv_l, pdf)
 
     ray_dir = m.normalize(light_pos - view_pos)
     occ = occlusion_test(
         flat, static, view_pos + 1e-5 * ray_dir, ray_dir, light_pos,
-        enabled=pdf > 0.0,
+        enabled=pdf > 0.0, use_pallas=use_pallas,
     )
     pdf = jnp.where(occ, -1.0, pdf)
     emit = jnp.where(occ[..., None], 0.0, emit)
@@ -165,12 +194,12 @@ def light_pdf(flat: FlatScene, static: SceneStatic, view_pos, light_pos, normal,
     tri_pdf = inv_l * d2 / jnp.maximum(area * cos_l, 1e-38)
     pdf = jnp.where(is_tri, tri_pdf, pdf)
 
-    # sphere branch (overrides, reference: lightSample.h:157-167)
-    gid = jnp.clip(geom_id, 0, flat.geom_type.shape[0] - 1)
-    is_sphere = flat.geom_type[gid] == SPHERE
-    view_l = xform_point(flat.geom_inv[gid], view_pos)
-    sin_tm2 = 0.25 / jnp.maximum(m.dot(view_l, view_l), 1e-12)
-    cos_tm = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_tm2))
-    sph_pdf = 1.0 / (TWO_PI * (1.0 - cos_tm)) * inv_l
-    pdf = jnp.where(is_sphere, sph_pdf, pdf)
+    # sphere branch: unrolled over static SPHERE geoms (overrides,
+    # reference: lightSample.h:157-167 — any sphere geom, not just lights)
+    for gi, gtype in enumerate(static.geom_types):
+        if gtype != SPHERE:
+            continue
+        sph_pdf = _sphere_cone_pdf_const(flat.geom_inv[gi], view_pos) * inv_l
+        sel = geom_id == gi
+        pdf = jnp.where(sel, sph_pdf, pdf)
     return pdf

@@ -67,40 +67,113 @@ class ScatterRecord(NamedTuple):
     dir: jnp.ndarray    # (N, 3)
 
 
-def gather_material(flat: FlatScene, static: SceneStatic, mat_id, uv) -> MatParams:
-    """Gather material rows + resolve texture-or-constant samplers."""
-    mid = jnp.clip(mat_id, 0, flat.mat_f32.shape[0] - 1)
-    f = flat.mat_f32[mid]
-    i = flat.mat_i32[mid]
-    const_albedo = f[:, 0:3]
+def material_by_geom(flat: FlatScene, static: SceneStatic, geom_idx, uv) -> MatParams:
+    """Material params selected by (dynamic) geom index via a static chain.
+
+    Geoms' material assignments are compile-time facts, so each parameter
+    component is a select-chain over `geom_idx == gi` with scalar table
+    reads at STATIC indices — zero gathers.  TPU gathers from tiny tables
+    lower to serial per-element loops (~10 ms per gather per bounce at
+    640k rays), so this chain is ~50x cheaper for typical scenes.
+    """
+
+    def chain(table_2d, comp, ids, dtype):
+        out = jnp.zeros_like(geom_idx, dtype=dtype)
+        for gi, mid in enumerate(ids):
+            out = jnp.where(geom_idx == gi, table_2d[comp, mid], out)
+        return out
+
+    ids = static.geom_mats
+    f, i = flat.mat_f32, flat.mat_i32
+    const_albedo = jnp.stack(
+        [chain(f, 0, ids, jnp.float32), chain(f, 1, ids, jnp.float32), chain(f, 2, ids, jnp.float32)],
+        axis=-1,
+    )
+    rough_c = chain(f, 3, ids, jnp.float32)
+    metal_c = chain(f, 4, ids, jnp.float32)
+    ior = chain(f, 5, ids, jnp.float32)
+    mtype = chain(i, 0, ids, jnp.int32)
+    atex = chain(i, 1, ids, jnp.int32)
+    mtex = chain(i, 2, ids, jnp.int32)
+    rtex = chain(i, 3, ids, jnp.int32)
+    ntex = chain(i, 4, ids, jnp.int32)
+
     if static.has_textures:
-        albedo = sample_or_const(flat.atlas, flat.tex_table, i[:, 1], const_albedo, uv)
+        albedo = sample_or_const(flat.atlas, flat.tex_table, atex, const_albedo, uv)
         rough = sample_or_const(
-            flat.atlas, flat.tex_table, i[:, 3], f[:, 3:4], uv
+            flat.atlas, flat.tex_table, rtex, rough_c[:, None], uv
         )[:, 0]
         metal = sample_or_const(
-            flat.atlas, flat.tex_table, i[:, 2], f[:, 4:5], uv
+            flat.atlas, flat.tex_table, mtex, metal_c[:, None], uv
         )[:, 0]
         nmap_const = jnp.broadcast_to(
             jnp.array([0.5, 0.5, 1.0], jnp.float32), const_albedo.shape
         )
-        nmap = sample_or_const(flat.atlas, flat.tex_table, i[:, 4], nmap_const, uv)
+        nmap = sample_or_const(flat.atlas, flat.tex_table, ntex, nmap_const, uv)
     else:
         albedo = const_albedo
-        rough = f[:, 3]
-        metal = f[:, 4]
+        rough = rough_c
+        metal = metal_c
         nmap = jnp.broadcast_to(
             jnp.array([0.5, 0.5, 1.0], jnp.float32), const_albedo.shape
         )
     return MatParams(
-        type=i[:, 0],
+        type=mtype,
         albedo=albedo,
         roughness=jnp.clip(rough, ROUGHNESS_MIN, ROUGHNESS_MAX),
         metallic=jnp.clip(metal, 0.0, 1.0),
-        ior=f[:, 5],
+        ior=ior,
         emit=const_albedo,
         normal_map=nmap,
-        has_normal_map=i[:, 4] >= 0,
+        has_normal_map=ntex >= 0,
+    )
+
+
+def gather_material(flat: FlatScene, static: SceneStatic, mat_id, uv) -> MatParams:
+    """Gather material params + resolve texture-or-constant samplers.
+
+    Tables are component-major (8, M): each component is an independent
+    (N,) gather with a clean TPU layout (row gathers of (N, 8) followed by
+    column slicing generated strided slice+reduce fusions costing tens of
+    ms per bounce).
+    """
+    mid = jnp.clip(mat_id, 0, flat.mat_f32.shape[1] - 1)
+    f = flat.mat_f32
+    i = flat.mat_i32
+    const_albedo = jnp.stack([f[0][mid], f[1][mid], f[2][mid]], axis=-1)
+    rough_c = f[3][mid]
+    metal_c = f[4][mid]
+    ior = f[5][mid]
+    mtype = i[0][mid]
+    atex, mtex, rtex, ntex = i[1][mid], i[2][mid], i[3][mid], i[4][mid]
+    if static.has_textures:
+        albedo = sample_or_const(flat.atlas, flat.tex_table, atex, const_albedo, uv)
+        rough = sample_or_const(
+            flat.atlas, flat.tex_table, rtex, rough_c[:, None], uv
+        )[:, 0]
+        metal = sample_or_const(
+            flat.atlas, flat.tex_table, mtex, metal_c[:, None], uv
+        )[:, 0]
+        nmap_const = jnp.broadcast_to(
+            jnp.array([0.5, 0.5, 1.0], jnp.float32), const_albedo.shape
+        )
+        nmap = sample_or_const(flat.atlas, flat.tex_table, ntex, nmap_const, uv)
+    else:
+        albedo = const_albedo
+        rough = rough_c
+        metal = metal_c
+        nmap = jnp.broadcast_to(
+            jnp.array([0.5, 0.5, 1.0], jnp.float32), const_albedo.shape
+        )
+    return MatParams(
+        type=mtype,
+        albedo=albedo,
+        roughness=jnp.clip(rough, ROUGHNESS_MIN, ROUGHNESS_MAX),
+        metallic=jnp.clip(metal, 0.0, 1.0),
+        ior=ior,
+        emit=const_albedo,
+        normal_map=nmap,
+        has_normal_map=ntex >= 0,
     )
 
 

@@ -44,44 +44,44 @@ class Hit(NamedTuple):
 
 
 def _geoms_closest(flat: FlatScene, static: SceneStatic, o, d):
-    """Brute-force analytic geoms (reference: src/pathtrace.cu:211-235)."""
+    """Brute-force analytic geoms (reference: src/pathtrace.cu:211-235).
+
+    Two-phase sweep, fully unrolled over the (static) geom list so XLA
+    fuses it into one elementwise pass: phase 1 keeps only (t, winner id)
+    per geom using the distance-only tests; phase 2 recomputes point and
+    normal ONCE for the winning geom via per-ray gathered transforms.
+    (The original lax.scan carrying point/normal per step was the hot
+    spot: ~97 ms per pass at 640k rays; this form is ~10x cheaper.)
+    """
     N = o.shape[0]
     t_min = jnp.full((N,), FLT_MAX, jnp.float32)
     geom = jnp.full((N,), -1, jnp.int32)
     point = jnp.zeros((N, 3), jnp.float32)
     normal = jnp.zeros((N, 3), jnp.float32)
 
-    def body(carry, g):
-        t_min, geom, point, normal = carry
-        gtype, gi, xf, inv, invt = g
-        vs, ts, ps, ns, _ = ray_sphere(xf, inv, invt, o, d)
-        vc, tc, pc, nc, _ = ray_cube(xf, inv, invt, o, d)
-        is_sphere = gtype == SPHERE
-        is_cube = gtype == CUBE
-        valid = jnp.where(is_sphere, vs, vc) & (is_sphere | is_cube)
-        t = jnp.where(is_sphere, ts, tc)
-        p = jnp.where(is_sphere, ps, pc)
-        n = jnp.where(is_sphere, ns, nc)
+    # Fully unrolled over the static geom list: transform matrices index
+    # with STATIC gi so they fold to scalar constants — never materialize
+    # per-ray (N,4,4) matrices (a single gathered-matrix + element-slice
+    # pattern cost >100 ms/bounce at 640k rays: the (N,4,4) tensor tiles
+    # as T(4,128) and every m[...,i,j] extract became a strided
+    # slice+reduce over it).
+    for gi, gtype in enumerate(static.geom_types):
+        if gtype == SPHERE:
+            valid, t, p, nrm, _ = ray_sphere(
+                flat.geom_transform[gi], flat.geom_inv[gi], flat.geom_invt[gi], o, d
+            )
+        elif gtype == CUBE:
+            valid, t, p, nrm, _ = ray_cube(
+                flat.geom_transform[gi], flat.geom_inv[gi], flat.geom_invt[gi], o, d
+            )
+        else:
+            continue
         better = valid & (t > 0.0) & (t < t_min)
         bm = better[..., None]
-        return (
-            jnp.where(better, t, t_min),
-            jnp.where(better, gi, geom),
-            jnp.where(bm, p, point),
-            jnp.where(bm, n, normal),
-        ), None
-
-    G = flat.geom_type.shape[0]
-    xs = (
-        flat.geom_type,
-        jnp.arange(G, dtype=jnp.int32),
-        flat.geom_transform,
-        flat.geom_inv,
-        flat.geom_invt,
-    )
-    (t_min, geom, point, normal), _ = jax.lax.scan(
-        body, (t_min, geom, point, normal), xs
-    )
+        t_min = jnp.where(better, t, t_min)
+        geom = jnp.where(better, gi, geom)
+        point = jnp.where(bm, p, point)
+        normal = jnp.where(bm, nrm, normal)
     return t_min, geom, point, normal
 
 
@@ -144,8 +144,16 @@ def _bvh_closest(flat: FlatScene, static: SceneStatic, o, d, t_min, tri, u, v):
     return t_min, tri, u, v
 
 
-def closest_hit(flat: FlatScene, static: SceneStatic, o, d) -> Hit:
-    """Full-scene closest hit (geoms + triangles)."""
+def closest_hit(
+    flat: FlatScene, static: SceneStatic, o, d, use_pallas: bool = False,
+    alive=None,
+) -> Hit:
+    """Full-scene closest hit (geoms + triangles).
+
+    `use_pallas` switches the triangle part to the packet-traversal kernel
+    (ops/traverse_pallas.py) — the TPU fast path; the XLA lockstep walk is
+    the portable fallback.
+    """
     N = o.shape[0]
     t_min, geom, point, normal = _geoms_closest(flat, static, o, d)
     tri = jnp.full((N,), -1, jnp.int32)
@@ -155,8 +163,20 @@ def closest_hit(flat: FlatScene, static: SceneStatic, o, d) -> Hit:
     tangent = jnp.zeros((N, 3), jnp.float32)
     bitangent = jnp.zeros((N, 3), jnp.float32)
 
-    if static.num_tris > 0:
+    if static.num_tris > 0 and use_pallas:
+        from pathtracer_tpu.ops.traverse_pallas import closest_hit_bvh_pallas
+
+        # dead lanes get t_init < 0 so whole-dead packets exit at the root
+        t_init = t_min if alive is None else jnp.where(alive, t_min, -1.0)
+        t_pk, tri_pk, u_pk, v_pk = closest_hit_bvh_pallas(
+            flat.bvh_pk, flat.tri_pk, o, d, t_init
+        )
+        t_min = jnp.where(tri_pk >= 0, t_pk, t_min)
+        tri, u, v = tri_pk, u_pk, v_pk
+    elif static.num_tris > 0:
         t_min, tri, u, v = _bvh_closest(flat, static, o, d, t_min, tri, u, v)
+
+    if static.num_tris > 0:
         got_tri = tri >= 0
         tidx = jnp.clip(tri, 0, flat.tri_data.shape[0] - 1)
         trow = flat.tri_data[tidx]
@@ -177,31 +197,40 @@ def closest_hit(flat: FlatScene, static: SceneStatic, o, d) -> Hit:
     return Hit(t_min, geom, tri, point, normal, uv, tangent, bitangent)
 
 
-def occlusion_test(flat: FlatScene, static: SceneStatic, ori, dir, des, enabled=None):
+def occlusion_test(
+    flat: FlatScene, static: SceneStatic, ori, dir, des, enabled=None,
+    use_pallas: bool = False,
+):
     """Shadow query: is the segment ori→des blocked?
 
     reference: src/lightSample.h:59-139 — brute-force geoms with window
     (t < minT-1e-5 && |t-minT| > 1e-2), then BVH triangles with window
     (t < minT-1e-5 && |t-minT| > 1e-4).
     """
+    from pathtracer_tpu.ops.intersect import ray_cube_t, ray_sphere_t
+
     N = ori.shape[0]
     min_t = jnp.sqrt(jnp.maximum(jnp.sum((des - ori) ** 2, -1), 0.0))
     occluded = jnp.zeros((N,), bool)
 
-    def body(carry, g):
-        occluded = carry
-        gtype, xf, inv, invt = g
-        vs, ts, *_ = ray_sphere(xf, inv, invt, ori, dir)
-        vc, tc, *_ = ray_cube(xf, inv, invt, ori, dir)
-        is_sphere = gtype == SPHERE
-        is_cube = gtype == CUBE
-        valid = jnp.where(is_sphere, vs, vc) & (is_sphere | is_cube)
-        t = jnp.where(is_sphere, ts, tc)
+    for gi, gtype in enumerate(static.geom_types):
+        if gtype == SPHERE:
+            valid, t = ray_sphere_t(flat.geom_transform[gi], flat.geom_inv[gi], ori, dir)
+        elif gtype == CUBE:
+            valid, t = ray_cube_t(flat.geom_transform[gi], flat.geom_inv[gi], ori, dir)
+        else:
+            continue
         blocked = valid & (t > 0.0) & (min_t - 1e-5 > t) & (jnp.abs(t - min_t) > 1e-2)
-        return occluded | blocked, None
+        occluded = occluded | blocked
 
-    xs = (flat.geom_type, flat.geom_transform, flat.geom_inv, flat.geom_invt)
-    occluded, _ = jax.lax.scan(body, occluded, xs)
+    if static.num_tris > 0 and use_pallas:
+        from pathtracer_tpu.ops.traverse_pallas import occlusion_bvh_pallas
+
+        min_t_eff = min_t if enabled is None else jnp.where(enabled, min_t, -1.0)
+        occluded = occlusion_bvh_pallas(
+            flat.bvh_pk, flat.tri_pk, ori, dir, min_t_eff, occluded
+        )
+        return occluded
 
     if static.num_tris > 0:
         num_nodes = static.num_bvh_nodes

@@ -50,12 +50,16 @@ class FlatScene(NamedTuple):
     # triangles
     tri_data: jnp.ndarray         # (T, 32) float32
     tri_geom: jnp.ndarray         # (T,) int32
-    # BVH
+    # BVH — threaded MTBVH (XLA lockstep walk)
     bvh_f32: jnp.ndarray          # (D*N, 8) float32: bmin(3) bmax(3) pad(2)
     bvh_i32: jnp.ndarray          # (D*N, 4) int32: start end hit miss
-    # materials
-    mat_f32: jnp.ndarray          # (M, 8): albedo(3) roughness metallic ior pad(2)
-    mat_i32: jnp.ndarray          # (M, 8): type atex mtex rtex ntex pad(3)
+    # BVH — pruned single tree, merged rows (Pallas packet traversal)
+    bvh_pk: jnp.ndarray           # (Npk, 16) f32: bmin bmax start end left right (ints bitcast; left<0 = leaf)
+    tri_pk: jnp.ndarray           # (T, 12) f32: v0 v1 v2 pad
+    # materials — component-major (8, M): per-component (N,) gathers have
+    # clean TPU layouts; row gathers of (N, 8) then column slices do not
+    mat_f32: jnp.ndarray          # (8, M): albedo(3) roughness metallic ior pad(2)
+    mat_i32: jnp.ndarray          # (8, M): type atex mtex rtex ntex pad(3)
     # textures
     atlas: jnp.ndarray            # (P, 3) float32
     tex_table: jnp.ndarray        # (Ntex, 3) int32: offset width height
@@ -72,6 +76,9 @@ class FlatScene(NamedTuple):
 class SceneStatic:
     """Hashable compile-time facts about the scene (jit static arg)."""
 
+    geom_types: tuple  # per-geom type codes (static → type-specialized tests)
+    geom_mats: tuple   # per-geom material ids (static → select-chain lookup)
+    analytic_lights: tuple  # (light_idx, geom_idx, geom_type) for non-OBJ lights
     num_geoms: int
     num_tris: int
     num_bvh_nodes: int
@@ -184,6 +191,51 @@ def _env_cdfs(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
     return marg.astype(np.float32), cond.astype(np.float32)
 
 
+PACKET_LEAF_K = 4
+
+
+def build_packet_tables(bvh: FlatBVH) -> tuple[np.ndarray, np.ndarray]:
+    """Derive the Pallas packet-traversal tables from the MAX_PRIM=1 tree.
+
+    Cuts the tree at nodes spanning <= PACKET_LEAF_K triangles (those
+    become leaves, marked left = -1) and drops everything below the cut —
+    the SAME triangle ordering, so physics is identical while the node
+    table shrinks ~4x (VMEM residency).  Rows are (nn, 16) float32:
+    [bmin(3) bmax(3) start end left right pad(6)] with int fields bitcast.
+    """
+    nn = bvh.num_nodes
+    if nn == 0:
+        rows = np.zeros((1, 16), np.float32)
+        rows[:, 8:10] = np.array([-1, -1], np.int32).view(np.float32)  # leaf
+        return rows, None
+    keep = np.zeros(nn, bool)
+    new_id = np.full(nn, -1, np.int32)
+    order = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        keep[i] = True
+        new_id[i] = len(order)
+        order.append(i)
+        span = bvh.end[i] - bvh.start[i]
+        if span > PACKET_LEAF_K and bvh.left[i] >= 0:
+            stack.append(int(bvh.right[i]))
+            stack.append(int(bvh.left[i]))
+    order = np.asarray(order, np.int64)
+    rows = np.zeros((len(order), 16), np.float32)
+    rows[:, 0:3] = bvh.bbox_min[order]
+    rows[:, 3:6] = bvh.bbox_max[order]
+    ints = np.zeros((len(order), 4), np.int32)
+    ints[:, 0] = bvh.start[order]
+    ints[:, 1] = bvh.end[order]
+    span = ints[:, 1] - ints[:, 0]
+    is_cut_leaf = (span <= PACKET_LEAF_K) | (bvh.left[order] < 0)
+    ints[:, 2] = np.where(is_cut_leaf, -1, new_id[np.maximum(bvh.left[order], 0)])
+    ints[:, 3] = np.where(is_cut_leaf, -1, new_id[np.maximum(bvh.right[order], 0)])
+    rows[:, 6:10] = ints.view(np.float32)
+    return rows, None
+
+
 def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
     # geoms (pad to at least 1 so gathers are valid)
     G = max(len(scene.geoms), 1)
@@ -267,6 +319,9 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
         bvh_i32[:, 1] = bvh.end
         bvh_i32[:, 2] = bvh.hit
         bvh_i32[:, 3] = bvh.miss
+    bvh_pk, _ = build_packet_tables(bvh)
+    tri_pk = np.zeros((tri_data.shape[0], 12), np.float32)
+    tri_pk[:, 0:9] = tri_data[:, 0:9]
 
     flat = FlatScene(
         geom_type=jnp.asarray(geom_type),
@@ -278,8 +333,10 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
         tri_geom=jnp.asarray(tri_geom),
         bvh_f32=jnp.asarray(bvh_f32),
         bvh_i32=jnp.asarray(bvh_i32),
-        mat_f32=jnp.asarray(mat_f32),
-        mat_i32=jnp.asarray(mat_i32),
+        bvh_pk=jnp.asarray(bvh_pk),
+        tri_pk=jnp.asarray(tri_pk),
+        mat_f32=jnp.asarray(mat_f32.T.copy()),
+        mat_i32=jnp.asarray(mat_i32.T.copy()),
         atlas=jnp.asarray(atlas),
         tex_table=jnp.asarray(tex_table),
         light_geom=jnp.asarray(light_geom),
@@ -289,6 +346,13 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
         env_conditional_cdf=jnp.asarray(cond),
     )
     static = SceneStatic(
+        geom_types=tuple(int(g.type) for g in scene.geoms),
+        geom_mats=tuple(int(g.material_id) for g in scene.geoms),
+        analytic_lights=tuple(
+            (li, int(lg[li]), int(lty[li]))
+            for li in range(len(lg))
+            if lt[li] < 0
+        ),
         num_geoms=len(scene.geoms),
         num_tris=int(bvh.order.shape[0]),
         num_bvh_nodes=bvh.num_nodes,

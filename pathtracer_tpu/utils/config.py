@@ -50,6 +50,10 @@ class RenderOptions:
     compaction: bool = False      # densify live rays on device (off: masked
     # full-pool execution; the TPU analogue of the reference's compact_rays)
     interpret: bool = False       # run Pallas kernels in interpreter mode
+    pallas_traversal: bool = True  # packet BVH kernels (TPU); False = XLA
+    # lockstep walk (also the automatic fallback on CPU)
+    swizzle: bool = True          # order the ray pool in 32x32 pixel blocks
+    # so traversal packets are spatially coherent (single-device path)
 
     def with_mode(self, mode: SampleMode) -> "RenderOptions":
         return replace(self, sample_mode=SampleMode(mode))
