@@ -105,6 +105,7 @@ class _BounceState(NamedTuple):
     prev_pdf: jnp.ndarray
     remaining: jnp.ndarray
     alive: jnp.ndarray
+    lane: jnp.ndarray  # this ray's image slot (rays migrate when sorted)
     img: jnp.ndarray
     rays_traced: jnp.ndarray  # throughput metric (primary+bounce+shadow rays)
 
@@ -144,13 +145,44 @@ def make_render_iteration(
     mode = opts.sample_mode
     trace_depth = static.trace_depth
     use_pallas = bool(opts.pallas_traversal) and static.num_tris > 0
+    # per-bounce ray sorting (the TPU analogue of the reference's stream
+    # compaction, reference: src/pathtrace.cu:614-631): rays reorder by
+    # (alive, direction octant, origin cell) so traversal packets stay
+    # coherent after the first bounce and dead rays cluster into packets
+    # that exit at the root.  Image contributions scatter back via `lane`.
+    sort_rays = bool(opts.compaction) and static.num_tris > 0
     # pool→pixel map (spatial swizzle for packet coherence); identity when
     # pixel_xy is None
     xs_ys = pixel_xy
 
-    def bounce_body(flat: FlatScene, key, iteration, pixel_idx, state: _BounceState):
+    def _sort_state(flat, state: _BounceState) -> _BounceState:
+        root = flat.bvh_pk[0]
+        bmin = root[0:3]
+        inv_ext = 7.999 / jnp.maximum(root[3:6] - root[0:3], 1e-6)
+        cell = jnp.clip(((state.o - bmin) * inv_ext), 0.0, 7.999).astype(jnp.int32)
+        octant = (
+            (state.d[:, 0] > 0).astype(jnp.int32)
+            + 2 * (state.d[:, 1] > 0).astype(jnp.int32)
+            + 4 * (state.d[:, 2] > 0).astype(jnp.int32)
+        )
+        key = ((octant * 8 + cell[:, 0]) * 8 + cell[:, 1]) * 8 + cell[:, 2]
+        key = jnp.where(state.alive, key, jnp.int32(1 << 20))  # dead → back
+        perm = jnp.argsort(key, stable=True)
+        g1 = lambda a: a[perm]
+        g3 = lambda a: a[perm]
+        return state._replace(
+            o=g3(state.o), d=g3(state.d), color=g3(state.color),
+            prev_pdf=g1(state.prev_pdf), remaining=g1(state.remaining),
+            alive=g1(state.alive), lane=g1(state.lane),
+        )
+
+    def bounce_body(flat: FlatScene, key, iteration, pixel0, state: _BounceState):
         depth = state.depth
+        if sort_rays:
+            state = _sort_state(flat, state)
         alive = state.alive
+        pixel_idx = pixel0 + state.lane
+        contrib = jnp.zeros((n, 3), jnp.float32)
         hit = closest_hit(
             flat, static, state.o, state.d, use_pallas=use_pallas, alive=alive
         )
@@ -166,7 +198,7 @@ def make_render_iteration(
                 jnp.full((n,), static.env_map_id, jnp.int32),
                 uv,
             )
-            img = img + jnp.where(
+            contrib = contrib + jnp.where(
                 (alive & miss)[..., None], m.process_nan(state.color * env), 0.0
             )
         alive = alive & ~miss
@@ -177,7 +209,7 @@ def make_render_iteration(
         is_delta = params.type == DIELECTRIC
 
         sc_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_SCATTER, pixel_idx, 3)
-        srec = scatter_sample(params, nrm, state.d, sc_rand)
+        srec = scatter_sample(params, nrm, state.d, sc_rand, present=static.material_types)
         pdf_ok = srec.pdf != 0.0
 
         if mode == SampleMode.DIRECT_LI:
@@ -186,7 +218,7 @@ def make_render_iteration(
             lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas)
             rays_traced = rays_traced + jnp.sum((alive & ~is_light).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
-            bsdf = bsdf_eval(params, nrm, state.d, wi)
+            bsdf = bsdf_eval(params, nrm, state.d, wi, present=static.material_types)
             nee = (
                 state.color
                 * bsdf
@@ -195,10 +227,14 @@ def make_render_iteration(
             )
             add_light = alive & is_light
             add_nee = alive & ~is_light & (lrec.pdf > 0.0)
-            img = img + jnp.where(
+            contrib = contrib + jnp.where(
                 add_light[..., None], m.process_nan(state.color * params.emit), 0.0
             )
-            img = img + jnp.where(add_nee[..., None], m.process_nan(nee), 0.0)
+            contrib = contrib + jnp.where(add_nee[..., None], m.process_nan(nee), 0.0)
+            if sort_rays:
+                img = img.at[state.lane].add(contrib)
+            else:
+                img = img + contrib
             return _BounceState(
                 depth + 1,
                 state.o,
@@ -207,6 +243,7 @@ def make_render_iteration(
                 state.prev_pdf,
                 state.remaining,
                 jnp.zeros_like(alive),
+                state.lane,
                 img,
                 rays_traced,
             )
@@ -224,7 +261,7 @@ def make_render_iteration(
             )
             light_color = light_color * weight[..., None]
         add_light = alive & pdf_ok & is_light
-        img = img + jnp.where(add_light[..., None], m.process_nan(light_color), 0.0)
+        contrib = contrib + jnp.where(add_light[..., None], m.process_nan(light_color), 0.0)
 
         cont = alive & pdf_ok & ~is_light
 
@@ -234,8 +271,8 @@ def make_render_iteration(
             lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas)
             rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
-            b_pdf = pdf_eval(params, nrm, state.d, wi)
-            li_bsdf = bsdf_eval(params, nrm, state.d, wi)
+            b_pdf = pdf_eval(params, nrm, state.d, wi, present=static.material_types)
+            li_bsdf = bsdf_eval(params, nrm, state.d, wi, present=static.material_types)
             w = m.power_heuristic(lrec.pdf, b_pdf)
             nee = (
                 w[..., None]
@@ -245,7 +282,7 @@ def make_render_iteration(
                 * (jnp.maximum(m.dot(wi, nrm), 0.0) / lrec.pdf)[..., None]
             )
             add_nee = cont & ~is_delta
-            img = img + jnp.where(add_nee[..., None], m.process_nan(nee), 0.0)
+            contrib = contrib + jnp.where(add_nee[..., None], m.process_nan(nee), 0.0)
 
         # --- continuation ---
         offset_dir = jnp.where(
@@ -270,14 +307,18 @@ def make_render_iteration(
         remaining = jnp.where(cont, state.remaining - 1, state.remaining)
         alive = cont & (remaining > 0)
 
+        if sort_rays:
+            img = img.at[state.lane].add(contrib)
+        else:
+            img = img + contrib
         return _BounceState(
-            depth + 1, o, d, color, prev_pdf, remaining, alive, img, rays_traced
+            depth + 1, o, d, color, prev_pdf, remaining, alive, state.lane,
+            img, rays_traced
         )
 
     def render_iteration(
         flat: FlatScene, cam: CameraArrays, img, iteration, key, pixel0=0
     ):
-        pixel_idx = pixel0 + jnp.arange(n, dtype=jnp.int32)
         o, d = camera_rays(
             cam, width, height, key, iteration, pixel0, local_n=n, pixel_xy=xs_ys
         )
@@ -289,6 +330,7 @@ def make_render_iteration(
             prev_pdf=jnp.full((n,), -1.0, jnp.float32),
             remaining=jnp.full((n,), trace_depth, jnp.int32),
             alive=jnp.ones((n,), bool),
+            lane=jnp.arange(n, dtype=jnp.int32),
             img=img,
             rays_traced=jnp.int32(0),
         )
@@ -297,7 +339,7 @@ def make_render_iteration(
             return jnp.any(s.alive) & (s.depth < trace_depth + 1)
 
         state = jax.lax.while_loop(
-            cond, partial(bounce_body, flat, key, iteration, pixel_idx), state
+            cond, partial(bounce_body, flat, key, iteration, pixel0), state
         )
         return state.img, state.rays_traced
 
@@ -314,6 +356,7 @@ def make_render_iteration(
             prev_pdf=jnp.full((n,), -1.0, jnp.float32),
             remaining=jnp.full((n,), trace_depth, jnp.int32),
             alive=jnp.ones((n,), bool),
+            lane=jnp.arange(n, dtype=jnp.int32),
             img=img,
             rays_traced=jnp.int32(0),
         )
@@ -329,8 +372,7 @@ def make_render_iteration(
         Returns (state, alive_count) so the host can early-exit like the
         reference's `num_paths == 0` check (reference: src/pathtrace.cu:790).
         """
-        pixel_idx = pixel0 + jnp.arange(n, dtype=jnp.int32)
-        state = bounce_body(flat, key, iteration, pixel_idx, state)
+        state = bounce_body(flat, key, iteration, pixel0, state)
         return state, jnp.sum(state.alive.astype(jnp.int32))
 
     render_iteration.start_state = start_state

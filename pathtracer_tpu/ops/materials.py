@@ -292,76 +292,82 @@ def _metallic_sample(p: MatParams, n, wo, r):
 # dispatchers (reference: src/material.h:450-521)
 
 
-def scatter_sample(p: MatParams, n, wo, rands) -> ScatterRecord:
+def scatter_sample(p: MatParams, n, wo, rands, present=None) -> ScatterRecord:
     """Sample an outgoing direction + bsdf + pdf for every ray.
 
     `rands` is (N, 3): cols 0-1 are the 2D sample, col 2 the lobe/Fresnel
     1D sample.  reference: src/material.h:450-481 scatterSample.
+    `present` (static tuple of material types in the scene) skips absent
+    lobes entirely.
     """
-    lb, lp, ld = _lambertian_sample(p, n, wo, rands)
-    db, dp, dd = _dielectric_sample(p, n, wo, rands)
-    mb, mp, md = _microfacet_sample(p, n, wo, rands)
-    wb, wp, wd = _metallic_sample(p, n, wo, rands)
-
     t = p.type
-    is_l = (t == LAMBERTIAN)[..., None]
-    is_d = (t == DIELECTRIC)[..., None]
-    is_m = (t == MICROFACET)[..., None]
-    is_w = (t == METALLIC_WORKFLOW)[..., None]
-    is_light = (t == LIGHT)[..., None]
+    bsdf = p.emit  # Light default (reference: material.h:472-475)
+    pdf = jnp.ones_like(p.roughness)
+    d = jnp.zeros_like(n)
 
-    bsdf = jnp.where(
-        is_l, lb, jnp.where(is_d, db, jnp.where(is_m, mb, jnp.where(is_w, wb, p.emit)))
-    )
-    pdf = jnp.where(
-        t == LAMBERTIAN,
-        lp,
-        jnp.where(
-            t == DIELECTRIC,
-            dp,
-            jnp.where(
-                t == MICROFACET,
-                mp,
-                jnp.where(t == METALLIC_WORKFLOW, wp, 1.0),
-            ),
-        ),
-    )
-    d = jnp.where(
-        is_l,
-        ld,
-        jnp.where(is_d, dd, jnp.where(is_m, md, jnp.where(is_w, wd, 0.0))),
-    )
+    samplers = {
+        LAMBERTIAN: _lambertian_sample,
+        DIELECTRIC: _dielectric_sample,
+        MICROFACET: _microfacet_sample,
+        METALLIC_WORKFLOW: _metallic_sample,
+    }
+    for mtype, fn in samplers.items():
+        if present is not None and mtype not in present:
+            continue
+        b_i, p_i, d_i = fn(p, n, wo, rands)
+        sel = t == mtype
+        bsdf = jnp.where(sel[..., None], b_i, bsdf)
+        pdf = jnp.where(sel, p_i, pdf)
+        d = jnp.where(sel[..., None], d_i, d)
     delta = t == DIELECTRIC
     return ScatterRecord(bsdf=bsdf, pdf=pdf, delta=delta, dir=d)
 
 
-def bsdf_eval(p: MatParams, n, wo, wi):
+def bsdf_eval(p: MatParams, n, wo, wi, present=None):
     """reference: src/material.h:483-501 BSDF (wo = ray dir into surface)."""
     wo_out = -wo
-    lb = p.albedo * INV_PI
-    mb = microfacet_bsdf(n, wo_out, wi, p.albedo, p.roughness)
-    wb = metallic_bsdf(n, wo_out, wi, p.albedo, p.roughness, p.metallic)
     t = p.type
-    return jnp.where(
-        (t == LAMBERTIAN)[..., None],
-        lb,
-        jnp.where(
+    out = jnp.zeros_like(p.albedo)
+
+    def has(mt):
+        return present is None or mt in present
+
+    if has(LAMBERTIAN):
+        out = jnp.where((t == LAMBERTIAN)[..., None], p.albedo * INV_PI, out)
+    if has(MICROFACET):
+        out = jnp.where(
             (t == MICROFACET)[..., None],
-            mb,
-            jnp.where((t == METALLIC_WORKFLOW)[..., None], wb, 0.0),
-        ),
-    )
+            microfacet_bsdf(n, wo_out, wi, p.albedo, p.roughness),
+            out,
+        )
+    if has(METALLIC_WORKFLOW):
+        out = jnp.where(
+            (t == METALLIC_WORKFLOW)[..., None],
+            metallic_bsdf(n, wo_out, wi, p.albedo, p.roughness, p.metallic),
+            out,
+        )
+    return out
 
 
-def pdf_eval(p: MatParams, n, wo, wi):
+def pdf_eval(p: MatParams, n, wo, wi, present=None):
     """reference: src/material.h:503-521 pdf."""
     wo_out = -wo
-    lp = m.dot(wi, n) * INV_PI
-    mp = microfacet_pdf(n, wo_out, wi, p.roughness)
-    wp = metallic_pdf(n, wo_out, wi, p.roughness, p.metallic)
     t = p.type
-    return jnp.where(
-        t == LAMBERTIAN,
-        lp,
-        jnp.where(t == MICROFACET, mp, jnp.where(t == METALLIC_WORKFLOW, wp, 0.0)),
-    )
+    out = jnp.zeros_like(p.roughness)
+
+    def has(mt):
+        return present is None or mt in present
+
+    if has(LAMBERTIAN):
+        out = jnp.where(t == LAMBERTIAN, m.dot(wi, n) * INV_PI, out)
+    if has(MICROFACET):
+        out = jnp.where(
+            t == MICROFACET, microfacet_pdf(n, wo_out, wi, p.roughness), out
+        )
+    if has(METALLIC_WORKFLOW):
+        out = jnp.where(
+            t == METALLIC_WORKFLOW,
+            metallic_pdf(n, wo_out, wi, p.roughness, p.metallic),
+            out,
+        )
+    return out

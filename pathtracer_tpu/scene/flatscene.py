@@ -78,6 +78,8 @@ class SceneStatic:
 
     geom_types: tuple  # per-geom type codes (static → type-specialized tests)
     geom_mats: tuple   # per-geom material ids (static → select-chain lookup)
+    material_types: tuple  # sorted set of material types present (static →
+    # absent BSDF lobes are never evaluated)
     analytic_lights: tuple  # (light_idx, geom_idx, geom_type) for non-OBJ lights
     num_geoms: int
     num_tris: int
@@ -348,6 +350,7 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
     static = SceneStatic(
         geom_types=tuple(int(g.type) for g in scene.geoms),
         geom_mats=tuple(int(g.material_id) for g in scene.geoms),
+        material_types=tuple(sorted({int(m.type) for m in scene.materials})),
         analytic_lights=tuple(
             (li, int(lg[li]), int(lty[li]))
             for li in range(len(lg))

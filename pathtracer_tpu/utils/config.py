@@ -47,8 +47,11 @@ class RenderOptions:
     env_importance: bool = False  # env-map CDF importance sampling; the
     # reference builds the luminance CDF but never samples it
     # (reference: src/scene.cpp:514-529, README.md:25-27 TODO)
-    compaction: bool = False      # densify live rays on device (off: masked
-    # full-pool execution; the TPU analogue of the reference's compact_rays)
+    compaction: bool = True       # per-bounce ray sorting by (alive, octant,
+    # origin cell): dead rays cluster into packets that exit instantly and
+    # live packets stay coherent — the TPU analogue of the reference's
+    # compact_rays (reference: src/pathtrace.cu:614-631), with the count
+    # kept on device instead of round-tripping to the host
     interpret: bool = False       # run Pallas kernels in interpreter mode
     pallas_traversal: bool = True  # packet BVH kernels (TPU); False = XLA
     # lockstep walk (also the automatic fallback on CPU)
