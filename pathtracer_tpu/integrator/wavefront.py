@@ -151,6 +151,7 @@ def make_render_iteration(
     # coherent after the first bounce and dead rays cluster into packets
     # that exit at the root.  Image contributions scatter back via `lane`.
     sort_rays = bool(opts.compaction) and static.num_tris > 0
+    env_nee = bool(opts.env_importance) and static.env_map_id >= 0
     # pool→pixel map (spatial swizzle for packet coherence); identity when
     # pixel_xy is None
     xs_ys = pixel_xy
@@ -198,8 +199,23 @@ def make_render_iteration(
                 jnp.full((n,), static.env_map_id, jnp.int32),
                 uv,
             )
+            env_w = 1.0
+            if mode == SampleMode.MIS and env_nee:
+                # MIS counterweight for BSDF rays escaping to the sky —
+                # the env participates in NEE so its hit must be weighted
+                from pathtracer_tpu.ops.envmap import env_pdf as _env_pdf
+
+                l_eff = jnp.float32(static.num_lights + 1)
+                ep = _env_pdf(flat, static, state.d) / l_eff
+                env_w = jnp.where(
+                    state.prev_pdf > 0.0,
+                    m.power_heuristic(state.prev_pdf, ep),
+                    1.0,
+                )[..., None]
             contrib = contrib + jnp.where(
-                (alive & miss)[..., None], m.process_nan(state.color * env), 0.0
+                (alive & miss)[..., None],
+                m.process_nan(state.color * env * env_w),
+                0.0,
             )
         alive = alive & ~miss
 
@@ -215,7 +231,7 @@ def make_render_iteration(
         if mode == SampleMode.DIRECT_LI:
             # reference: src/pathtrace.cu:348-403 — one NEE bounce, then stop
             li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 3)
-            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas)
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee)
             rays_traced = rays_traced + jnp.sum((alive & ~is_light).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             bsdf = bsdf_eval(params, nrm, state.d, wi, present=static.material_types)
@@ -252,7 +268,8 @@ def make_render_iteration(
         light_color = state.color * srec.bsdf / jnp.maximum(srec.pdf, 1e-38)[..., None]
         if mode == SampleMode.MIS:
             lp = light_pdf(
-                flat, static, state.o, hit.point, nrm, hit.tri, hit.geom
+                flat, static, state.o, hit.point, nrm, hit.tri, hit.geom,
+                include_env=env_nee,
             )
             weight = jnp.where(
                 state.prev_pdf > 0.0,
@@ -268,7 +285,7 @@ def make_render_iteration(
         # --- NEE term (MIS only, non-delta) ---
         if mode == SampleMode.MIS:
             li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 3)
-            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas)
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee)
             rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             b_pdf = pdf_eval(params, nrm, state.d, wi, present=static.material_types)

@@ -1,0 +1,82 @@
+"""HDR environment-map sampling.
+
+The reference builds a luminance·sin(θ) CDF over the env map but never
+samples it — env importance sampling is an explicit TODO
+(reference: src/scene.cpp:514-529 CDF build; README.md:25-27 "MIS env map").
+This module finishes the job (gated by RenderOptions.env_importance):
+
+- `sample_env`: draw a direction ∝ luminance·sinθ via the marginal/
+  conditional CDFs (inverse of the equirect mapping sphere_to_plane,
+  reference: src/utilities.h:209-214), returning (dir, radiance, pdf_ω)
+- `env_pdf`: the same pdf for a given direction (the MIS counterweight
+  when a BSDF-sampled ray escapes to the sky)
+
+Solid-angle conversion: with u→φ=2πu, v→elevation θe=π(v-½), the Jacobian
+gives pdf_ω = pdf_uv / (2π² · cosθe).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pathtracer_tpu.ops.texture import bilinear_sample
+from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
+from pathtracer_tpu.utils.config import PI, TWO_PI
+
+
+def _searchsorted_rows(cdf_rows, u):
+    return jnp.sum((cdf_rows <= u[:, None]).astype(jnp.int32), axis=1)
+
+
+def sample_env(flat: FlatScene, static: SceneStatic, u1, u2):
+    """Importance-sample the env map.  Returns (dir (N,3), Le (N,3), pdf_ω)."""
+    marg = flat.env_marginal_cdf       # (H+1,)
+    cond = flat.env_conditional_cdf    # (H, W+1)
+    pdf_tab = flat.env_pdf             # (H, W) joint pdf over [0,1]²
+    h = cond.shape[0]
+    w = cond.shape[1] - 1
+
+    row = jnp.clip(jnp.searchsorted(marg, u2, side="right") - 1, 0, h - 1)
+    m0 = marg[row]
+    m1 = marg[row + 1]
+    dv = jnp.where(m1 > m0, (u2 - m0) / jnp.maximum(m1 - m0, 1e-38), 0.0)
+    v = (row.astype(jnp.float32) + dv) / h
+
+    cond_rows = cond[row]  # (N, W+1)
+    col = jnp.clip(_searchsorted_rows(cond_rows, u1) - 1, 0, w - 1)
+    c0 = jnp.take_along_axis(cond_rows, col[:, None], axis=1)[:, 0]
+    c1 = jnp.take_along_axis(cond_rows, col[:, None] + 1, axis=1)[:, 0]
+    du = jnp.where(c1 > c0, (u1 - c0) / jnp.maximum(c1 - c0, 1e-38), 0.0)
+    u = (col.astype(jnp.float32) + du) / w
+
+    phi = TWO_PI * u
+    theta_e = PI * (v - 0.5)
+    cos_e = jnp.cos(theta_e)
+    direction = jnp.stack(
+        [cos_e * jnp.cos(phi), jnp.sin(theta_e), cos_e * jnp.sin(phi)], axis=-1
+    )
+
+    pdf_uv = pdf_tab[row, col]
+    pdf_w = pdf_uv / jnp.maximum(2.0 * PI * PI * cos_e, 1e-8)
+
+    uv = jnp.stack([u, v], axis=-1)
+    le = bilinear_sample(
+        flat.atlas,
+        flat.tex_table,
+        jnp.full(u.shape, static.env_map_id, jnp.int32),
+        uv,
+    )
+    return direction, le, pdf_w
+
+
+def env_pdf(flat: FlatScene, static: SceneStatic, d):
+    """pdf_ω of `sample_env` for arbitrary unit directions (MIS weight)."""
+    from pathtracer_tpu.ops.math import sphere_to_plane
+
+    pdf_tab = flat.env_pdf
+    h, w = pdf_tab.shape
+    uv = sphere_to_plane(d)
+    col = jnp.clip((uv[:, 0] * w).astype(jnp.int32), 0, w - 1)
+    row = jnp.clip((uv[:, 1] * h).astype(jnp.int32), 0, h - 1)
+    cos_e = jnp.sqrt(jnp.maximum(1.0 - d[:, 1] * d[:, 1], 1e-8))
+    return pdf_tab[row, col] / jnp.maximum(2.0 * PI * PI * cos_e, 1e-8)

@@ -100,26 +100,32 @@ def _emit_color_by_geom(flat: FlatScene, static: SceneStatic, geom_idx):
 
 
 def light_sample(
-    flat: FlatScene, static: SceneStatic, view_pos, rands, use_pallas: bool = False
+    flat: FlatScene, static: SceneStatic, view_pos, rands,
+    use_pallas: bool = False, include_env: bool = False,
 ) -> LightSampleRecord:
     """Sample one light per ray, with occlusion.
 
     `rands` is (N, 3): col 0 the light pick, cols 1-2 the area/cone sample.
+    With `include_env` the environment map participates as one more light
+    (importance-sampled via its luminance·sinθ CDF) — our completion of the
+    reference's env-MIS TODO (README.md:25-27), off by default.
     """
     N = view_pos.shape[0]
     L = static.num_lights
-    if L == 0:
+    L_eff = L + (1 if include_env else 0)
+    if L_eff == 0:
         zero = jnp.zeros((N,), jnp.float32)
         return LightSampleRecord(
             pos=jnp.zeros((N, 3), jnp.float32),
             emit=jnp.zeros((N, 3), jnp.float32),
             pdf=zero - 1.0,
         )
-    fl = jnp.float32(L)
+    fl = jnp.float32(L_eff)
     light_id = jnp.minimum(rands[:, 0] * fl, fl - 1.0).astype(jnp.int32)
+    is_env = light_id >= L  # env takes the last slot when included
     lid = jnp.clip(light_id, 0, flat.light_geom.shape[0] - 1)
     geom_id = flat.light_geom[lid]
-    tri_id = flat.light_tri[lid]
+    tri_id = jnp.where(is_env, -1, flat.light_tri[lid])
     emit = _emit_color_by_geom(flat, static, geom_id)
 
     xi = rands[:, 1:3]
@@ -161,6 +167,15 @@ def light_sample(
         light_pos = jnp.where(sel[..., None], p_i, light_pos)
         pdf = jnp.where(sel, pdf_i * inv_l, pdf)
 
+    if include_env:
+        from pathtracer_tpu.ops.envmap import sample_env
+
+        env_dir, env_le, env_pdf_w = sample_env(flat, static, xi[:, 0], xi[:, 1])
+        em = is_env[..., None]
+        light_pos = jnp.where(em, view_pos + env_dir * 1e7, light_pos)
+        pdf = jnp.where(is_env, env_pdf_w * inv_l, pdf)
+        emit = jnp.where(em, env_le, emit)
+
     ray_dir = m.normalize(light_pos - view_pos)
     occ = occlusion_test(
         flat, static, view_pos + 1e-5 * ray_dir, ray_dir, light_pos,
@@ -171,14 +186,14 @@ def light_sample(
     return LightSampleRecord(pos=light_pos, emit=emit, pdf=pdf)
 
 
-def light_pdf(flat: FlatScene, static: SceneStatic, view_pos, light_pos, normal, tri_id, geom_id):
+def light_pdf(flat: FlatScene, static: SceneStatic, view_pos, light_pos, normal, tri_id, geom_id, include_env: bool = False):
     """Re-evaluate the light pdf for a BSDF-sampled hit (MIS weight).
 
     reference: src/lightSample.h:141-169 lightPDF.  Returns -1 for
     geometries with no sampling branch (cube lights).
     """
     N = view_pos.shape[0]
-    L = static.num_lights
+    L = static.num_lights + (1 if include_env else 0)
     if L == 0:
         return jnp.full((N,), -1.0, jnp.float32)
     inv_l = 1.0 / jnp.float32(L)

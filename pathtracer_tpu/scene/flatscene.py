@@ -70,6 +70,7 @@ class FlatScene(NamedTuple):
     # environment importance CDFs (all-zero when unused)
     env_marginal_cdf: jnp.ndarray     # (H+1,) float32
     env_conditional_cdf: jnp.ndarray  # (H, W+1) float32
+    env_pdf: jnp.ndarray              # (H, W) float32 joint pdf over [0,1]²
 
 
 @dataclass(frozen=True)
@@ -174,12 +175,16 @@ def _env_cdfs(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
     (reference: src/scene.cpp:519-525): lum(pixel) · sin((0.5+i)/H · π).
     """
     if scene.env_map_id < 0:
-        return np.zeros((1,), np.float32), np.zeros((1, 1), np.float32)
+        return (
+            np.zeros((1,), np.float32),
+            np.zeros((1, 1), np.float32),
+            np.zeros((1, 1), np.float32),
+        )
     img = scene.textures[scene.env_map_id]
     h, w, _ = img.shape
     lum = 0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
     sin_t = np.sin((0.5 + np.arange(h)) / h * np.pi)
-    f = lum * sin_t[:, None]
+    f = (lum * sin_t[:, None]).astype(np.float64)
     row_int = f.sum(axis=1)
     cond = np.zeros((h, w + 1), np.float64)
     np.cumsum(f, axis=1, out=cond[:, 1:])
@@ -190,7 +195,10 @@ def _env_cdfs(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
     np.cumsum(row_int, out=marg[1:])
     total = marg[-1] if marg[-1] > 0 else 1.0
     marg /= total
-    return marg.astype(np.float32), cond.astype(np.float32)
+    # joint pdf over [0,1]²: f / mean(f)
+    mean_f = f.mean() if f.mean() > 0 else 1.0
+    pdf = (f / mean_f).astype(np.float32)
+    return marg.astype(np.float32), cond.astype(np.float32), pdf
 
 
 PACKET_LEAF_K = 4
@@ -306,7 +314,7 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
     light_tri[: len(lg)] = lt
     light_type[: len(lg)] = lty
 
-    marg, cond = _env_cdfs(scene)
+    marg, cond, env_pdf_tab = _env_cdfs(scene)
 
     # pad triangle/bvh arrays to >=1 row so device gathers are shape-valid
     if tri_data.shape[0] == 0:
@@ -346,6 +354,7 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
         light_type=jnp.asarray(light_type),
         env_marginal_cdf=jnp.asarray(marg),
         env_conditional_cdf=jnp.asarray(cond),
+        env_pdf=jnp.asarray(env_pdf_tab),
     )
     static = SceneStatic(
         geom_types=tuple(int(g.type) for g in scene.geoms),
