@@ -151,6 +151,20 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_preview(args) -> int:
+    from pathtracer_tpu.integrator.render import Renderer
+    from pathtracer_tpu.preview.server import run_preview
+    from pathtracer_tpu.utils.config import RenderOptions
+
+    opts = RenderOptions(sample_mode=_parse_mode(args.mode))
+    r = Renderer(
+        args.scene, opts=opts, resolution=_parse_res(args.res), trace_depth=args.depth
+    )
+    run_preview(r, host=args.host, port=args.port, chunk=args.chunk,
+                max_iterations=args.spp)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="pathtracer_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -171,6 +185,13 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="measure Mrays/s")
     _add_common(pb)
     pb.set_defaults(fn=cmd_bench)
+
+    pv = sub.add_parser("preview", help="interactive web preview (orbit camera)")
+    _add_common(pv)
+    pv.add_argument("--port", type=int, default=8000)
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--chunk", type=int, default=4, help="spp per display update")
+    pv.set_defaults(fn=cmd_preview)
 
     args = parser.parse_args(argv)
     if getattr(args, "cpu", False):
