@@ -62,8 +62,18 @@ def _surface_area(pmin: np.ndarray, pmax: np.ndarray) -> float:
     return float(2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0]))
 
 
-def build_bvh(tri_verts: np.ndarray, use_sah: bool = True, mtbvh: bool = True) -> FlatBVH:
-    """Build from (T, 3, 3) world-space triangle vertices."""
+def build_bvh(
+    tri_verts: np.ndarray,
+    use_sah: bool = True,
+    mtbvh: bool = True,
+    use_native: bool = True,
+) -> FlatBVH:
+    """Build from (T, 3, 3) world-space triangle vertices.
+
+    `use_native` tries the C++ builder (accel/native, ~100x the numpy
+    builder on large meshes — the reference's build is C++ too,
+    reference: src/BVH.cpp); falls back to numpy when no toolchain exists.
+    """
     T = tri_verts.shape[0]
     if T == 0:
         z3 = np.zeros((0, 3), np.float32)
@@ -74,6 +84,20 @@ def build_bvh(tri_verts: np.ndarray, use_sah: bool = True, mtbvh: bool = True) -
     bmax_tri = tri_verts.max(axis=1)
     # triangle centroid = mean of vertices (reference: Bounds3.hpp Triangle::Centroid)
     centroids = tri_verts.mean(axis=1)
+
+    if use_sah and use_native:
+        try:
+            from pathtracer_tpu.accel.native import build_sah_native
+
+            res = build_sah_native(bmin_tri, bmax_tri, centroids, MAX_PRIM, BUCKET_NUM)
+        except Exception:
+            res = None
+        if res is not None:
+            order, bmin, bmax, start_a, end_a, left, right, parent = res
+            n = bmin.shape[0]
+            return _finish_links(
+                bmin, bmax, start_a, end_a, left, right, parent, n, mtbvh, order
+            )
 
     order = np.arange(T, dtype=np.int64)
 
@@ -180,7 +204,11 @@ def build_bvh(tri_verts: np.ndarray, use_sah: bool = True, mtbvh: bool = True) -
     left = np.asarray(nodes_left, np.int32)
     right = np.asarray(nodes_right, np.int32)
     parent = np.asarray(nodes_parent, np.int32)
+    return _finish_links(bmin, bmax, start_a, end_a, left, right, parent, n, mtbvh, order)
 
+
+def _finish_links(bmin, bmax, start_a, end_a, left, right, parent, n, mtbvh, order):
+    """Threaded hit/miss linearization (+6-way MTBVH) from child/parent info."""
     if not mtbvh:
         hit, miss = _thread_links(left, right, parent)
         return FlatBVH(bmin, bmax, start_a, end_a, hit, miss, n, 1, order, left, right)
