@@ -73,12 +73,12 @@ def main():
         print(json.dumps({"metric": "mrays_per_sec", "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0}))
         return 1
 
-    headline = next((r for r in results if r["scene"] == "cornell"), results[0])
+    headline = next((r for r in results if r["scene"] == "cornell_mis"), results[0])
     value = headline["mrays_per_sec"]
     print(
         json.dumps(
             {
-                "metric": "cornell_800x800_bsdf_throughput",
+                "metric": "cornell_800x800_mis_throughput",
                 "value": value,
                 "unit": "Mrays/s",
                 # BASELINE.json north-star target: 100 Mrays/s per chip

@@ -168,10 +168,12 @@ class Renderer:
             num_iterations -= 1
 
         t0 = time.perf_counter()
-        rays_total = jnp.int32(0)
+        # accumulate on device in f32 (int32 overflows beyond ~2e9 rays;
+        # x64 is disabled on TPU)
+        rays_total = jnp.float32(0)
         for _ in range(num_iterations):
             self.img, rays = self._run_iteration(cam, self.iteration + 1)
-            rays_total = rays_total + rays
+            rays_total = rays_total + rays.astype(jnp.float32)
             self.iteration += 1
         jax.block_until_ready(self.img)
         dt = time.perf_counter() - t0
