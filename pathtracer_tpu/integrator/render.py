@@ -82,9 +82,13 @@ class Renderer:
         self.flat, self.static = build_flat_scene(scene)
         self.width, self.height = scene.camera.resolution
         self.camera: RenderCamera = derive_camera(scene.camera)
-        # Pallas packet kernels need a real TPU (no CPU lowering); fall
-        # back to the XLA lockstep walk elsewhere.
-        if self.opts.pallas_traversal and jax.default_backend() == "cpu":
+        # Pallas packet kernels need a real TPU (no CPU lowering) and
+        # on-chip table budgets; fall back to the XLA lockstep walk else.
+        from pathtracer_tpu.ops.traverse import _packet_tables_fit
+
+        if self.opts.pallas_traversal and (
+            jax.default_backend() == "cpu" or not _packet_tables_fit(self.flat)
+        ):
             from dataclasses import replace as _dc_replace
 
             self.opts = _dc_replace(self.opts, pallas_traversal=False)

@@ -157,9 +157,11 @@ def make_render_iteration(
     xs_ys = pixel_xy
 
     def _sort_state(flat, state: _BounceState) -> _BounceState:
-        root = flat.bvh_pk[0]
-        bmin = root[0:3]
-        inv_ext = 7.999 / jnp.maximum(root[3:6] - root[0:3], 1e-6)
+        sb = static.scene_bounds  # static → folds to constants
+        bmin = jnp.array(sb[0:3], jnp.float32)
+        inv_ext = 7.999 / jnp.maximum(
+            jnp.array(sb[3:6], jnp.float32) - bmin, 1e-6
+        )
         cell = jnp.clip(((state.o - bmin) * inv_ext), 0.0, 7.999).astype(jnp.int32)
         octant = (
             (state.d[:, 0] > 0).astype(jnp.int32)

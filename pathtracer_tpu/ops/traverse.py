@@ -144,6 +144,14 @@ def _bvh_closest(flat: FlatScene, static: SceneStatic, o, d, t_min, tri, u, v):
     return t_min, tri, u, v
 
 
+def _packet_tables_fit(flat: FlatScene) -> bool:
+    """Packet kernels keep node scalars in SMEM (~1 MB) and triangles in
+    VMEM; scenes beyond those budgets fall back to the XLA walk."""
+    nn = flat.bvh_pk.shape[0]
+    nt = flat.tri_pk.shape[0]
+    return nn * 40 <= 800_000 and nt * 48 <= 8_000_000
+
+
 def closest_hit(
     flat: FlatScene, static: SceneStatic, o, d, use_pallas: bool = False,
     alive=None,
@@ -163,6 +171,8 @@ def closest_hit(
     tangent = jnp.zeros((N, 3), jnp.float32)
     bitangent = jnp.zeros((N, 3), jnp.float32)
 
+    if static.num_tris > 0 and use_pallas:
+        use_pallas = _packet_tables_fit(flat)
     if static.num_tris > 0 and use_pallas:
         from pathtracer_tpu.ops.traverse_pallas import closest_hit_bvh_pallas
 
@@ -223,6 +233,8 @@ def occlusion_test(
         blocked = valid & (t > 0.0) & (min_t - 1e-5 > t) & (jnp.abs(t - min_t) > 1e-2)
         occluded = occluded | blocked
 
+    if static.num_tris > 0 and use_pallas:
+        use_pallas = _packet_tables_fit(flat)
     if static.num_tris > 0 and use_pallas:
         from pathtracer_tpu.ops.traverse_pallas import occlusion_bvh_pallas
 

@@ -5,7 +5,7 @@ The XLA traversal (ops/traverse.py) advances EVERY ray one node per
 each step is a full-pool row gather.  This kernel replaces it with classic
 **packet traversal** shaped for the TPU VPU:
 
-- the ray pool is tiled into (8, 128) packets (one grid step per packet);
+- the ray pool is tiled into (16, 128) packets (one grid step per packet);
 - each packet walks the tree with a SHARED scalar stack in SMEM — a node
   is visited iff ANY ray in the packet wants it, so finished/incoherent
   packets exit early instead of idling in lockstep with the whole pool;
@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ROWS = 8
+TILE_ROWS = 16
 TILE_LANES = 128
 TILE = TILE_ROWS * TILE_LANES
 STACK_DEPTH = 96
@@ -101,8 +101,9 @@ def _moller_trumbore(trow, ox, oy, oz, dx, dy, dz):
     return hit, t, u, v
 
 
-def _load_tables(nodes_hbm, tri_hbm, nodes_vmem, tri_vmem, sems):
-    """Copy the scene tables HBM→VMEM once, on the first grid step.
+def _load_tables(nf_hbm, ni_hbm, tri_hbm, nf_sm, ni_sm, tri_vmem, sems):
+    """Copy the scene tables once, on the first grid step: node scalars to
+    SMEM (scalar-unit loads, no lane extraction), triangles to VMEM.
 
     Scratch persists across the (sequential) TPU grid, so later packets
     reuse the resident tables instead of re-fetching per tile.
@@ -110,17 +111,20 @@ def _load_tables(nodes_hbm, tri_hbm, nodes_vmem, tri_vmem, sems):
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        c0 = pltpu.make_async_copy(nodes_hbm, nodes_vmem, sems.at[0])
-        c1 = pltpu.make_async_copy(tri_hbm, tri_vmem, sems.at[1])
+        c0 = pltpu.make_async_copy(nf_hbm, nf_sm, sems.at[0])
+        c1 = pltpu.make_async_copy(ni_hbm, ni_sm, sems.at[1])
+        c2 = pltpu.make_async_copy(tri_hbm, tri_vmem, sems.at[2])
         c0.start()
         c1.start()
+        c2.start()
         c0.wait()
         c1.wait()
+        c2.wait()
 
 
 def _closest_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
-    nodes_ref, tri_ref,
+    nf_ref, ni_ref, tri_ref,
     t_ref, tri_out_ref, u_ref, v_ref,
     stack_ref,
 ):
@@ -149,10 +153,13 @@ def _closest_kernel(
 
     def visit(node):
         """Test node's AABB; returns (any_active, active, is_leaf, start, end)."""
-        row = nodes_ref[node]
-        nf = [row[k] for k in range(6)]
-        ints = jax.lax.bitcast_convert_type(row[6:10], jnp.int32)
-        start, end, left, right = ints[0], ints[1], ints[2], ints[3]
+        nb = node * 6
+        nf = [nf_ref[nb + k] for k in range(6)]
+        ni = node * 4
+        start = ni_ref[ni]
+        end = ni_ref[ni + 1]
+        left = ni_ref[ni + 2]
+        right = ni_ref[ni + 3]
         hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
         active = hit & (t_enter <= t_ref[:])
         t_near = jnp.min(jnp.where(active, t_enter, jnp.float32(FLT_MAX)))
@@ -175,9 +182,8 @@ def _closest_kernel(
         # stack holds INTERNAL nodes whose AABB already passed
         sp1 = sp - 1
         node = stack_ref[sp1]
-        row = nodes_ref[node]
-        ints = jax.lax.bitcast_convert_type(row[6:10], jnp.int32)
-        left, right = ints[2], ints[3]
+        left = ni_ref[node * 4 + 2]
+        right = ni_ref[node * 4 + 3]
 
         la, ll, lr, ls, le, lt = visit(left)
         ra, rl, rr, rs, re, rt = visit(right)
@@ -224,7 +230,7 @@ def _closest_kernel(
 
 def _occlusion_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, mint_ref, occ0_ref,
-    nodes_ref, tri_ref,
+    nf_ref, ni_ref, tri_ref,
     occ_ref,
     stack_ref,
 ):
@@ -250,10 +256,13 @@ def _occlusion_kernel(
             occ_ref[:] = jnp.where(blocked, 1, occ_ref[:])
 
     def visit(node):
-        row = nodes_ref[node]
-        nf = [row[k] for k in range(6)]
-        ints = jax.lax.bitcast_convert_type(row[6:10], jnp.int32)
-        start, end, left, right = ints[0], ints[1], ints[2], ints[3]
+        nb = node * 6
+        nf = [nf_ref[nb + k] for k in range(6)]
+        ni = node * 4
+        start = ni_ref[ni]
+        end = ni_ref[ni + 1]
+        left = ni_ref[ni + 2]
+        right = ni_ref[ni + 3]
         hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
         live = occ_ref[:] == 0
         active = hit & (t_enter <= min_t) & live
@@ -274,9 +283,8 @@ def _occlusion_kernel(
     def body(sp):
         sp1 = sp - 1
         node = stack_ref[sp1]
-        row = nodes_ref[node]
-        ints = jax.lax.bitcast_convert_type(row[6:10], jnp.int32)
-        left, right = ints[2], ints[3]
+        left = ni_ref[node * 4 + 2]
+        right = ni_ref[node * 4 + 3]
 
         la, ll, lr, ls, le = visit(left)
         ra, rl, rr, rs, re = visit(right)
@@ -352,8 +360,9 @@ def closest_hit_bvh_pallas(
                          memory_space=pltpu.VMEM)
             for _ in range(7)
         ],
-        pl.BlockSpec(memory_space=pltpu.ANY),  # nodes (stay in HBM)
-        pl.BlockSpec(memory_space=pltpu.ANY),  # tris
+        pl.BlockSpec(memory_space=pltpu.ANY),  # node floats (HBM)
+        pl.BlockSpec(memory_space=pltpu.ANY),  # node ints (HBM)
+        pl.BlockSpec(memory_space=pltpu.ANY),  # tris (HBM)
     ]
     out_specs = [
         pl.BlockSpec((1, TILE_ROWS, TILE_LANES), lambda i: (i, 0, 0),
@@ -366,14 +375,16 @@ def closest_hit_bvh_pallas(
 
     nn = nodes16.shape[0]
     nt = tri12.shape[0]
+    nodes_f = nodes16[:, 0:6].reshape(-1)
+    nodes_i = jax.lax.bitcast_convert_type(nodes16[:, 6:10], jnp.int32).reshape(-1)
 
-    def kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, t0_r, nd_h, tr_h,
-               t_r, tri_r, u_r, v_r, stack_r, nd_v, tr_v, sems):
-        _load_tables(nd_h, tr_h, nd_v, tr_v, sems)
+    def kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, t0_r, nf_h, ni_h, tr_h,
+               t_r, tri_r, u_r, v_r, stack_r, nf_s, ni_s, tr_v, sems):
+        _load_tables(nf_h, ni_h, tr_h, nf_s, ni_s, tr_v, sems)
         _closest_kernel(
             ox_r.at[0], oy_r.at[0], oz_r.at[0],
             dx_r.at[0], dy_r.at[0], dz_r.at[0], t0_r.at[0],
-            nd_v, tr_v,
+            nf_s, ni_s, tr_v,
             t_r.at[0], tri_r.at[0], u_r.at[0], v_r.at[0],
             stack_r,
         )
@@ -386,15 +397,16 @@ def closest_hit_bvh_pallas(
         out_shape=[shape1, shapei, shape1, shape1],
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.VMEM((nn, 16), jnp.float32),
+            pltpu.SMEM((nn * 6,), jnp.float32),
+            pltpu.SMEM((nn * 4,), jnp.int32),
             pltpu.VMEM((nt, 12), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
     )(
         _tiles(ox), _tiles(oy), _tiles(oz),
         _tiles(dx), _tiles(dy), _tiles(dz), _tiles(t0),
-        nodes16, tri12,
+        nodes_f, nodes_i, tri12,
     )
     flat = lambda a: a.reshape(-1)[:n]
     return flat(t), flat(tri), flat(u), flat(v)
@@ -425,6 +437,7 @@ def occlusion_bvh_pallas(
         ],
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     out_specs = [
         pl.BlockSpec((1, TILE_ROWS, TILE_LANES), lambda i: (i, 0, 0),
@@ -432,14 +445,16 @@ def occlusion_bvh_pallas(
     ]
     nn = nodes16.shape[0]
     nt = tri12.shape[0]
+    nodes_f = nodes16[:, 0:6].reshape(-1)
+    nodes_i = jax.lax.bitcast_convert_type(nodes16[:, 6:10], jnp.int32).reshape(-1)
 
-    def kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, mt_r, oc0_r, nd_h, tr_h,
-               occ_r, stack_r, nd_v, tr_v, sems):
-        _load_tables(nd_h, tr_h, nd_v, tr_v, sems)
+    def kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, mt_r, oc0_r, nf_h, ni_h, tr_h,
+               occ_r, stack_r, nf_s, ni_s, tr_v, sems):
+        _load_tables(nf_h, ni_h, tr_h, nf_s, ni_s, tr_v, sems)
         _occlusion_kernel(
             ox_r.at[0], oy_r.at[0], oz_r.at[0],
             dx_r.at[0], dy_r.at[0], dz_r.at[0], mt_r.at[0], oc0_r.at[0],
-            nd_v, tr_v,
+            nf_s, ni_s, tr_v,
             occ_r.at[0],
             stack_r,
         )
@@ -452,14 +467,15 @@ def occlusion_bvh_pallas(
         out_shape=[jax.ShapeDtypeStruct((num_tiles, TILE_ROWS, TILE_LANES), jnp.int32)],
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.VMEM((nn, 16), jnp.float32),
+            pltpu.SMEM((nn * 6,), jnp.float32),
+            pltpu.SMEM((nn * 4,), jnp.int32),
             pltpu.VMEM((nt, 12), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
     )(
         _tiles(ox), _tiles(oy), _tiles(oz),
         _tiles(dx), _tiles(dy), _tiles(dz), _tiles(mt), _tiles(oc0),
-        nodes16, tri12,
+        nodes_f, nodes_i, tri12,
     )
     return occ.reshape(-1)[:n].astype(bool)

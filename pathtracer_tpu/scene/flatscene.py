@@ -81,6 +81,8 @@ class SceneStatic:
     geom_mats: tuple   # per-geom material ids (static → select-chain lookup)
     material_types: tuple  # sorted set of material types present (static →
     # absent BSDF lobes are never evaluated)
+    scene_bounds: tuple  # (bmin xyz, bmax xyz) of ALL geometry — the ray
+    # sort's spatial hash grid (the BVH root covers triangles only)
     analytic_lights: tuple  # (light_idx, geom_idx, geom_type) for non-OBJ lights
     num_geoms: int
     num_tris: int
@@ -202,6 +204,26 @@ def _env_cdfs(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
 
 
 PACKET_LEAF_K = 4
+
+
+def _scene_bounds(scene: SceneData, bvh: FlatBVH) -> tuple:
+    """Conservative world bounds of all geometry (unit shapes span ±0.5)."""
+    lo = np.full(3, np.inf)
+    hi = np.full(3, -np.inf)
+    for g in scene.geoms:
+        if g.type == OBJ:
+            continue
+        c = g.transform[:3, 3]
+        ext = np.abs(g.transform[:3, :3]).sum(axis=1) * 0.5
+        lo = np.minimum(lo, c - ext)
+        hi = np.maximum(hi, c + ext)
+    if bvh.num_nodes > 0:
+        lo = np.minimum(lo, bvh.bbox_min[0])
+        hi = np.maximum(hi, bvh.bbox_max[0])
+    if not np.isfinite(lo).all():
+        lo = np.zeros(3)
+        hi = np.ones(3)
+    return tuple(float(x) for x in lo) + tuple(float(x) for x in hi)
 
 
 def build_packet_tables(bvh: FlatBVH) -> tuple[np.ndarray, np.ndarray]:
@@ -360,6 +382,7 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
         geom_types=tuple(int(g.type) for g in scene.geoms),
         geom_mats=tuple(int(g.material_id) for g in scene.geoms),
         material_types=tuple(sorted({int(m.type) for m in scene.materials})),
+        scene_bounds=_scene_bounds(scene, bvh),
         analytic_lights=tuple(
             (li, int(lg[li]), int(lty[li]))
             for li in range(len(lg))
