@@ -102,15 +102,24 @@ class TestPreviewServer:
         state, base = preview
         time.sleep(2)
         get(base, "/orbit?dtheta=10&dphi=-15").read()
+        # observe the camera change (the loop applies pending orbits between
+        # iterations; iteration count restarts but advances again quickly,
+        # so assert on the pose + that accumulation went DOWN at some point)
+        before = state.renderer.iteration
         deadline = time.time() + 60
-        ok = False
+        theta_ok = False
+        dropped = False
         while time.time() < deadline:
             r = state.renderer
-            if abs(r.camera.theta) > 1 and r.iteration <= 3:
-                ok = True
+            if abs(r.camera.theta - 10.0) < 1e-3:
+                theta_ok = True
+            if r.iteration < before:
+                dropped = True
+            if theta_ok and dropped:
                 break
-            time.sleep(0.3)
-        assert ok, "orbit should change theta and reset accumulation"
+            time.sleep(0.05)
+        assert theta_ok, "orbit should change theta"
+        assert dropped, "orbit should reset accumulation"
 
     def test_mode_switch(self, preview):
         state, base = preview
