@@ -52,10 +52,21 @@ def _parse_res(s):
         raise SystemExit(f"error: --res expects WxH (e.g. 800x800), got {s!r}")
 
 
+def _print_devices():
+    """Device report at startup (reference: src/main.cpp:50-73 prints CUDA
+    device properties)."""
+    import jax
+
+    for d in jax.devices():
+        print(f"device: {d.device_kind} ({d.platform}) id={d.id}", file=sys.stderr)
+
+
 def cmd_render(args) -> int:
     from pathtracer_tpu.integrator.render import Renderer
     from pathtracer_tpu.utils.config import RenderOptions
     from pathtracer_tpu.utils import rng
+
+    _print_devices()
 
     opts = RenderOptions(
         sample_mode=_parse_mode(args.mode), tonemapping=not args.no_tonemap

@@ -160,6 +160,60 @@ def sample_hemisphere_cosine(n, r):
     return x[..., None] * t + y[..., None] * b + cos_t[..., None] * n
 
 
+def sample_hemisphere_cosine2(n, r):
+    """The reference's alternate cosine sampler (concentric disk + the
+    localRefMatrix2 frame; reference: src/utilities.h:243-249) — kept for
+    inventory parity with the 'v2' material implementations."""
+    d = to_concentric_disk(r)
+    z = jnp.sqrt(jnp.maximum(1.0 - dot(d, d), 0.0))
+    t, b = onb_ref2(n)
+    return d[..., 0:1] * t + d[..., 1:2] * b + z[..., None] * n
+
+
+def sample_normal_ggx2(n, wo, alpha, r):
+    """The reference's alternate VNDF sampler (localRefMatrix2 frame,
+    max(0,·) z-clamp; reference: src/utilities.h:379-397)."""
+    t, b = onb_ref2(n)
+    wol = jnp.stack([dot(wo, t), dot(wo, b), dot(wo, n)], axis=-1)
+    a = jnp.expand_dims(jnp.asarray(alpha, wol.dtype), -1)
+    vh = normalize(jnp.concatenate([wol[..., :2] * a, wol[..., 2:]], axis=-1))
+    len_sq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    t1 = jnp.where(
+        (len_sq > 0.0)[..., None],
+        jnp.stack([-vh[..., 1], vh[..., 0], jnp.zeros_like(len_sq)], axis=-1)
+        / jnp.sqrt(jnp.maximum(len_sq, 1e-38))[..., None],
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), vh.shape),
+    )
+    t2 = cross(vh, t1)
+    p = sample_uniform_disc(r)
+    s = 0.5 * (vh[..., 2] + 1.0)
+    py = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p[..., 0] ** 2, 0.0)) + s * p[..., 1]
+    p = jnp.stack([p[..., 0], py], axis=-1)
+    h = (
+        p[..., 0:1] * t1
+        + p[..., 1:2] * t2
+        + jnp.sqrt(jnp.maximum(0.0, 1.0 - dot(p, p)))[..., None] * vh
+    )
+    local = jnp.concatenate([h[..., :2] * a, jnp.maximum(0.0, h[..., 2:])], axis=-1)
+    world = local[..., 0:1] * t + local[..., 1:2] * b + local[..., 2:3] * n
+    return normalize(world)
+
+
+def random2d(w, ite):
+    """Hash-fract RNG (reference: src/utilities.h:66-70 random2D) — unused by
+    the reference's kernels but part of its library surface."""
+    r1 = jnp.mod(
+        jnp.sin(dot(w, jnp.array([12.9898, 78.233, 45.645])) + ite * 25.345)
+        * 43758.5453,
+        1.0,
+    )
+    r2 = jnp.mod(
+        jnp.sin(dot(w, jnp.array([45.432, 234.233, 99.99])) + ite * 42.345) * 219.23,
+        1.0,
+    )
+    return jnp.stack([r1, r2], axis=-1)
+
+
 def sample_hemisphere_uniform(n, r):
     """reference: src/utilities.h:251-262"""
     t, b = onb_pixar(n)

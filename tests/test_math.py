@@ -151,3 +151,31 @@ class TestFresnelGGX:
         assert np.isclose(
             float(m.power_heuristic(jnp.array(1.0), jnp.array(-1.0))), 0.5
         )
+
+
+class TestAlternateSamplers:
+    """The reference's 'v2' sampler variants (reference: src/utilities.h:
+    243-249, 379-397) kept for library parity."""
+
+    def test_cosine2_distribution(self):
+        n = jnp.asarray(np.tile([0.0, 0.0, 1.0], (20000, 1)).astype(np.float32))
+        rng_ = np.random.default_rng(12)
+        r = jnp.asarray(rng_.random((20000, 2), dtype=np.float32))
+        d = np.asarray(m.sample_hemisphere_cosine2(n, r))
+        assert (d[:, 2] >= -1e-5).all()
+        assert np.isclose(d[:, 2].mean(), 2.0 / 3.0, atol=0.01)
+
+    def test_vndf2_unit_and_hemisphere(self):
+        n = jnp.asarray(np.tile([0.0, 0.0, 1.0], (4096, 1)).astype(np.float32))
+        wo = jnp.asarray(rand_dirs(4096, 13))
+        wo = jnp.where(wo[..., 2:3] < 0, -wo, wo)
+        rng_ = np.random.default_rng(14)
+        r = jnp.asarray(rng_.random((4096, 2), np.float32))
+        wh = np.asarray(m.sample_normal_ggx2(n, wo, 0.3, r))
+        np.testing.assert_allclose(np.linalg.norm(wh, axis=-1), 1.0, atol=1e-4)
+        assert (wh[:, 2] >= 0).all()
+
+    def test_random2d_range(self):
+        w = jnp.asarray(rand_dirs(512, 15))
+        r = np.asarray(m.random2d(w, 3))
+        assert ((r >= 0) & (r < 1)).all()
