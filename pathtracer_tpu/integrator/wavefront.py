@@ -48,7 +48,7 @@ from pathtracer_tpu.ops.materials import (
     bsdf_eval,
     scatter_sample,
 )
-from pathtracer_tpu.ops.texture import bilinear_sample
+from pathtracer_tpu.ops.texture import bilinear_sample_u32
 from pathtracer_tpu.ops.traverse import closest_hit
 from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
 from pathtracer_tpu.scene.parser import DIELECTRIC, LIGHT
@@ -150,7 +150,10 @@ def make_render_iteration(
     # (alive, direction octant, origin cell) so traversal packets stay
     # coherent after the first bounce and dead rays cluster into packets
     # that exit at the root.  Image contributions scatter back via `lane`.
-    sort_rays = bool(opts.compaction) and static.num_tris > 0
+    # sorting costs ~50 ms/bounce (argsort + 7-field state permute at 640k
+    # rays); it buys back multiples of that in packet-traversal coherence
+    # only when the mesh is big enough to make traversal expensive
+    sort_rays = bool(opts.compaction) and static.num_tris >= 512
     env_nee = bool(opts.env_importance) and static.env_map_id >= 0
     # pool→pixel map (spatial swizzle for packet coherence); identity when
     # pixel_xy is None
@@ -195,8 +198,8 @@ def make_render_iteration(
         img = state.img
         if static.env_map_id >= 0:
             uv = m.sphere_to_plane(state.d)
-            env = bilinear_sample(
-                flat.atlas,
+            env = bilinear_sample_u32(
+                flat.atlas_u32,
                 flat.tex_table,
                 jnp.full((n,), static.env_map_id, jnp.int32),
                 uv,

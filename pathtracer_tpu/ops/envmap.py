@@ -19,35 +19,29 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from pathtracer_tpu.ops.texture import bilinear_sample
+from pathtracer_tpu.ops.texture import bilinear_sample_u32
 from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
 from pathtracer_tpu.utils.config import PI, TWO_PI
 
 
-def _searchsorted_rows(cdf_rows, u):
-    return jnp.sum((cdf_rows <= u[:, None]).astype(jnp.int32), axis=1)
-
-
 def sample_env(flat: FlatScene, static: SceneStatic, u1, u2):
-    """Importance-sample the env map.  Returns (dir (N,3), Le (N,3), pdf_ω)."""
-    marg = flat.env_marginal_cdf       # (H+1,)
-    cond = flat.env_conditional_cdf    # (H, W+1)
+    """Importance-sample the env map.  Returns (dir (N,3), Le (N,3), pdf_ω).
+
+    Uses ONE flattened (H·W+1,) CDF + binary search; u1 picks the texel,
+    u2 jitters within it (a marginal/conditional pair would need a
+    per-ray row gather of W+1 floats — gigabytes at pool scale)."""
+    cdf = flat.env_flat_cdf
     pdf_tab = flat.env_pdf             # (H, W) joint pdf over [0,1]²
-    h = cond.shape[0]
-    w = cond.shape[1] - 1
+    h, w = pdf_tab.shape
 
-    row = jnp.clip(jnp.searchsorted(marg, u2, side="right") - 1, 0, h - 1)
-    m0 = marg[row]
-    m1 = marg[row + 1]
-    dv = jnp.where(m1 > m0, (u2 - m0) / jnp.maximum(m1 - m0, 1e-38), 0.0)
-    v = (row.astype(jnp.float32) + dv) / h
-
-    cond_rows = cond[row]  # (N, W+1)
-    col = jnp.clip(_searchsorted_rows(cond_rows, u1) - 1, 0, w - 1)
-    c0 = jnp.take_along_axis(cond_rows, col[:, None], axis=1)[:, 0]
-    c1 = jnp.take_along_axis(cond_rows, col[:, None] + 1, axis=1)[:, 0]
-    du = jnp.where(c1 > c0, (u1 - c0) / jnp.maximum(c1 - c0, 1e-38), 0.0)
-    u = (col.astype(jnp.float32) + du) / w
+    idx = jnp.clip(jnp.searchsorted(cdf, u1, side="right") - 1, 0, h * w - 1)
+    row = idx // w
+    col = idx % w
+    # jitter inside the texel (u2 splits into two sub-uniforms)
+    j1 = jnp.mod(u2 * 64.0, 1.0)
+    j2 = jnp.mod(u2 * 4096.0, 1.0)
+    u = (col.astype(jnp.float32) + j1) / w
+    v = (row.astype(jnp.float32) + j2) / h
 
     phi = TWO_PI * u
     theta_e = PI * (v - 0.5)
@@ -60,8 +54,8 @@ def sample_env(flat: FlatScene, static: SceneStatic, u1, u2):
     pdf_w = pdf_uv / jnp.maximum(2.0 * PI * PI * cos_e, 1e-8)
 
     uv = jnp.stack([u, v], axis=-1)
-    le = bilinear_sample(
-        flat.atlas,
+    le = bilinear_sample_u32(
+        flat.atlas_u32,
         flat.tex_table,
         jnp.full(u.shape, static.env_map_id, jnp.int32),
         uv,

@@ -30,7 +30,12 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from pathtracer_tpu.ops import math as m
-from pathtracer_tpu.ops.texture import sample_or_const
+from pathtracer_tpu.ops.texture import (
+    sample_or_const,
+    sample_or_const_1ch,
+    sample_or_const_u32,
+    sample_or_const_u32_1ch,
+)
 from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
 from pathtracer_tpu.scene.parser import (
     DIELECTRIC,
@@ -98,25 +103,26 @@ def material_by_geom(flat: FlatScene, static: SceneStatic, geom_idx, uv) -> MatP
     rtex = chain(i, 3, ids, jnp.int32)
     ntex = chain(i, 4, ids, jnp.int32)
 
-    if static.has_textures:
-        albedo = sample_or_const(flat.atlas, flat.tex_table, atex, const_albedo, uv)
-        rough = sample_or_const(
-            flat.atlas, flat.tex_table, rtex, rough_c[:, None], uv
-        )[:, 0]
-        metal = sample_or_const(
-            flat.atlas, flat.tex_table, mtex, metal_c[:, None], uv
-        )[:, 0]
-        nmap_const = jnp.broadcast_to(
-            jnp.array([0.5, 0.5, 1.0], jnp.float32), const_albedo.shape
-        )
-        nmap = sample_or_const(flat.atlas, flat.tex_table, ntex, nmap_const, uv)
-    else:
-        albedo = const_albedo
-        rough = rough_c
-        metal = metal_c
-        nmap = jnp.broadcast_to(
-            jnp.array([0.5, 0.5, 1.0], jnp.float32), const_albedo.shape
-        )
+    slot_a, slot_m, slot_r, slot_n = static.tex_slots
+    albedo = (
+        sample_or_const_u32(flat.atlas_u32, flat.tex_table, atex, const_albedo, uv)
+        if slot_a else const_albedo
+    )
+    rough = (
+        sample_or_const_u32_1ch(flat.atlas_u32, flat.tex_table, rtex, rough_c, uv)
+        if slot_r else rough_c
+    )
+    metal = (
+        sample_or_const_u32_1ch(flat.atlas_u32, flat.tex_table, mtex, metal_c, uv)
+        if slot_m else metal_c
+    )
+    nmap_const = jnp.broadcast_to(
+        jnp.array([0.5, 0.5, 1.0], jnp.float32), const_albedo.shape
+    )
+    nmap = (
+        sample_or_const_u32(flat.atlas_u32, flat.tex_table, ntex, nmap_const, uv)
+        if slot_n else nmap_const
+    )
     return MatParams(
         type=mtype,
         albedo=albedo,

@@ -3,9 +3,10 @@
 The reference packs all textures into one device arena with per-texture
 (width, height, pointer) objects and bilinear sampling
 (reference: src/scene.cpp:574-597 upload, src/image.h:53-110 devTexObj /
-devTexSampler).  Here the arena is a single (P, 3) float32 HBM array and the
-per-texture table is (T, 3) int32 rows [offset, width, height]; sampling is a
-vectorized 4-tap gather.
+devTexSampler).  Here the arena is channel-major (3, P) float32 (per-channel gathers have
+clean TPU layouts; (P, 3) rows tile as T(8,128) and gathers of them lower to
+~70 ms strided fusions) and the per-texture table is (T, 3) int32 rows
+[offset, width, height]; sampling is a vectorized 4-tap gather.
 
 Bilinear convention replicated exactly (reference: src/image.h:73-85):
   x = u * (width - 1);  lx = int(x);  ux = lx+1 if x+1 < width else lx
@@ -40,8 +41,8 @@ def bilinear_sample(atlas, table, tex_id, uv):
 
     def at(ix, iy):
         idx = offset + iy * width + ix
-        idx = jnp.clip(idx, 0, atlas.shape[0] - 1)
-        return atlas[idx]
+        idx = jnp.clip(idx, 0, atlas.shape[1] - 1)
+        return jnp.stack([atlas[0][idx], atlas[1][idx], atlas[2][idx]], axis=-1)
 
     p1 = at(lx, ly) * (1.0 - fx) + at(ux, ly) * fx
     p2 = at(lx, uy) * (1.0 - fx) + at(ux, uy) * fx
@@ -56,3 +57,102 @@ def sample_or_const(atlas, table, tex_id, const_val, uv):
     tex = bilinear_sample(atlas, table, tex_id, uv)
     has_tex = (tex_id >= 0)[..., None]
     return jnp.where(has_tex, tex, const_val)
+
+
+def bilinear_sample_1ch(atlas, table, tex_id, uv):
+    """Channel-0 bilinear (roughness/metallic maps use .x only,
+    reference: src/material.h:274,324-325) — 4 gathers instead of 12."""
+    tid = jnp.clip(tex_id, 0, table.shape[0] - 1)
+    row = table[tid]
+    offset, width, height = row[..., 0], row[..., 1], row[..., 2]
+    u, v = uv[..., 0], uv[..., 1]
+    x = u * (width - 1).astype(uv.dtype)
+    y = v * (height - 1).astype(uv.dtype)
+    lx = jnp.floor(x).astype(jnp.int32)
+    ly = jnp.floor(y).astype(jnp.int32)
+    ux = jnp.where(x + 1.0 >= width.astype(uv.dtype), lx, lx + 1)
+    uy = jnp.where(y + 1.0 >= height.astype(uv.dtype), ly, ly + 1)
+    fx = x - jnp.floor(x)
+    fy = y - jnp.floor(y)
+
+    def at(ix, iy):
+        idx = jnp.clip(offset + iy * width + ix, 0, atlas.shape[1] - 1)
+        return atlas[0][idx]
+
+    p1 = at(lx, ly) * (1.0 - fx) + at(ux, ly) * fx
+    p2 = at(lx, uy) * (1.0 - fx) + at(ux, uy) * fx
+    return p1 * (1.0 - fy) + p2 * fy
+
+
+def sample_or_const_1ch(atlas, table, tex_id, const_val, uv):
+    tex = bilinear_sample_1ch(atlas, table, tex_id, uv)
+    return jnp.where(tex_id >= 0, tex, const_val)
+
+
+def _bilinear_taps(table, tex_id, uv, p_max):
+    tid = jnp.clip(tex_id, 0, table.shape[0] - 1)
+    row = table[tid]
+    offset, width, height = row[..., 0], row[..., 1], row[..., 2]
+    u, v = uv[..., 0], uv[..., 1]
+    x = u * (width - 1).astype(uv.dtype)
+    y = v * (height - 1).astype(uv.dtype)
+    lx = jnp.floor(x).astype(jnp.int32)
+    ly = jnp.floor(y).astype(jnp.int32)
+    ux = jnp.where(x + 1.0 >= width.astype(uv.dtype), lx, lx + 1)
+    uy = jnp.where(y + 1.0 >= height.astype(uv.dtype), ly, ly + 1)
+    fx = x - jnp.floor(x)
+    fy = y - jnp.floor(y)
+    idx = lambda ix, iy: jnp.clip(offset + iy * width + ix, 0, p_max)
+    return (idx(lx, ly), idx(ux, ly), idx(lx, uy), idx(ux, uy)), fx, fy
+
+
+def _unpack_u32(v, is_rgbe):
+    r = (v & jnp.uint32(255)).astype(jnp.float32)
+    g = ((v >> jnp.uint32(8)) & jnp.uint32(255)).astype(jnp.float32)
+    b = ((v >> jnp.uint32(16)) & jnp.uint32(255)).astype(jnp.float32)
+    e = ((v >> jnp.uint32(24)) & jnp.uint32(255)).astype(jnp.int32)
+    # RGBE decode (matches stb/read_hdr: c * 2^(e-136), 0 when e == 0)
+    scale = jnp.where(
+        e == 0, 0.0, jnp.exp2((e - 136).astype(jnp.float32))
+    )
+    rgb_ldr = jnp.stack([r, g, b], axis=-1) * jnp.float32(1.0 / 255.0)
+    rgb_hdr = jnp.stack([r, g, b], axis=-1) * scale[..., None]
+    return jnp.where(is_rgbe[..., None], rgb_hdr, rgb_ldr)
+
+
+def bilinear_sample_u32(atlas_u32, table, tex_id, uv):
+    """Bilinear over packed texels: ONE gather per tap (the float planes
+    cost 3 gathers/tap, and gathers from multi-MB atlases run at ~100 ns
+    per element on TPU — this is the sampler hot path).  LDR textures are
+    8-bit RGB (lossless for PNG sources); HDR ones are RGBE (lossless vs
+    the Radiance file's own encoding)."""
+    (i00, i10, i01, i11), fx, fy = _bilinear_taps(table, tex_id, uv, atlas_u32.shape[0] - 1)
+    tid = jnp.clip(tex_id, 0, table.shape[0] - 1)
+    is_rgbe = table[tid][..., 3] == 1
+    t00 = _unpack_u32(atlas_u32[i00], is_rgbe)
+    t10 = _unpack_u32(atlas_u32[i10], is_rgbe)
+    t01 = _unpack_u32(atlas_u32[i01], is_rgbe)
+    t11 = _unpack_u32(atlas_u32[i11], is_rgbe)
+    fxn = fx[..., None]
+    fyn = fy[..., None]
+    p1 = t00 * (1.0 - fxn) + t10 * fxn
+    p2 = t01 * (1.0 - fxn) + t11 * fxn
+    return p1 * (1.0 - fyn) + p2 * fyn
+
+
+def sample_or_const_u32(atlas_u32, table, tex_id, const_val, uv):
+    tex = bilinear_sample_u32(atlas_u32, table, tex_id, uv)
+    return jnp.where((tex_id >= 0)[..., None], tex, const_val)
+
+
+def bilinear_sample_u32_1ch(atlas_u32, table, tex_id, uv):
+    (i00, i10, i01, i11), fx, fy = _bilinear_taps(table, tex_id, uv, atlas_u32.shape[0] - 1)
+    ch = lambda v: (v & jnp.uint32(255)).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    p1 = ch(atlas_u32[i00]) * (1.0 - fx) + ch(atlas_u32[i10]) * fx
+    p2 = ch(atlas_u32[i01]) * (1.0 - fx) + ch(atlas_u32[i11]) * fx
+    return p1 * (1.0 - fy) + p2 * fy
+
+
+def sample_or_const_u32_1ch(atlas_u32, table, tex_id, const_val, uv):
+    tex = bilinear_sample_u32_1ch(atlas_u32, table, tex_id, uv)
+    return jnp.where(tex_id >= 0, tex, const_val)

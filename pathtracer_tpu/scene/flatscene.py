@@ -61,15 +61,21 @@ class FlatScene(NamedTuple):
     mat_f32: jnp.ndarray          # (8, M): albedo(3) roughness metallic ior pad(2)
     mat_i32: jnp.ndarray          # (8, M): type atex mtex rtex ntex pad(3)
     # textures
-    atlas: jnp.ndarray            # (P, 3) float32
-    tex_table: jnp.ndarray        # (Ntex, 3) int32: offset width height
+    atlas: jnp.ndarray            # (3, P) float32 channel planes (HDR/env)
+    atlas_u32: jnp.ndarray        # (P,) uint32 packed 8-bit RGB — material
+    # samplers use this (1 gather per tap instead of 3; lossless for the
+    # 8-bit LDR sources the reference loads, src/image.cpp:22-38)
+    tex_table: jnp.ndarray        # (Ntex, 4) int32: offset width height format(0=rgb8,1=rgbe)
     # lights
     light_geom: jnp.ndarray       # (L,) int32
     light_tri: jnp.ndarray        # (L,) int32  (-1 for analytic geoms)
     light_type: jnp.ndarray       # (L,) int32
-    # environment importance CDFs (all-zero when unused)
-    env_marginal_cdf: jnp.ndarray     # (H+1,) float32
-    env_conditional_cdf: jnp.ndarray  # (H, W+1) float32
+    # environment importance CDF (all-zero when unused): the joint
+    # luminance·sinθ distribution flattened to ONE (H·W+1,) CDF — the
+    # same 1D-over-all-pixels design as the reference's Distribution1D
+    # (reference: src/scene.cpp:514-529); a marginal/conditional pair
+    # needed a (N, W+1) row gather per sample (gigabytes at 640k rays)
+    env_flat_cdf: jnp.ndarray         # (H*W+1,) float32
     env_pdf: jnp.ndarray              # (H, W) float32 joint pdf over [0,1]²
 
 
@@ -92,6 +98,9 @@ class SceneStatic:
     num_materials: int
     env_map_id: int       # -1 = no environment map
     has_textures: bool
+    tex_slots: tuple      # (albedo, metallic, roughness, normal) — whether
+    # ANY material carries that map (static → absent samplers skip their
+    # 4-12 atlas gathers per bounce)
     width: int
     height: int
     trace_depth: int
@@ -153,9 +162,13 @@ def _pack_triangles(
     return np.zeros((0, TRI_ROW), np.float32), np.zeros((0,), np.int32)
 
 
-def _pack_textures(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
+def _pack_textures(scene: SceneData):
     if not scene.textures:
-        return np.zeros((1, 3), np.float32), np.zeros((1, 3), np.int32)
+        return (
+            np.zeros((3, 1), np.float32),
+            np.zeros((1,), np.uint32),
+            np.zeros((1, 4), np.int32),
+        )
     table = []
     chunks = []
     offset = 0
@@ -164,10 +177,33 @@ def _pack_textures(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
         table.append((offset, w, h))
         chunks.append(img.reshape(-1, 3))
         offset += w * h
-    return (
-        np.concatenate(chunks, axis=0).astype(np.float32),
-        np.asarray(table, np.int32),
-    )
+    flat = np.concatenate(chunks, axis=0).astype(np.float32)
+    # LDR texels pack as plain 8-bit RGB (lossless for PNG sources); HDR
+    # texels pack as RGBE with a shared exponent — lossless vs the .hdr
+    # FILE (Radiance stores 8-bit mantissas + exponent), though slightly
+    # quantized vs the float planes' bilinear of decoded values
+    fmt = []
+    packed = np.zeros(flat.shape[0], np.uint32)
+    pos = 0
+    for k, img in enumerate(scene.textures):
+        n = img.shape[0] * img.shape[1]
+        chunk = flat[pos : pos + n]
+        if chunk.max() > 1.0:  # HDR → RGBE
+            maxc = chunk.max(axis=-1)
+            with np.errstate(divide="ignore"):
+                e = np.where(maxc > 1e-32, np.floor(np.log2(maxc)) + 1, 0).astype(np.int32)
+            scale = np.where(maxc > 1e-32, np.ldexp(1.0, -e) * 256.0, 0.0)
+            q = np.clip(chunk * scale[:, None], 0, 255).astype(np.uint32)
+            eb = np.where(maxc > 1e-32, e + 128, 0).astype(np.uint32)
+            packed[pos : pos + n] = q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16) | (eb << 24)
+            fmt.append(1)
+        else:
+            q = np.clip(chunk * 255.0 + 0.5, 0, 255).astype(np.uint32)
+            packed[pos : pos + n] = q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
+            fmt.append(0)
+        pos += n
+    table = [(o, w, h, f) for (o, w, h), f in zip(table, fmt)]
+    return flat.T.copy(), packed, np.asarray(table, np.int32)
 
 
 def _env_cdfs(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
@@ -177,30 +213,20 @@ def _env_cdfs(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
     (reference: src/scene.cpp:519-525): lum(pixel) · sin((0.5+i)/H · π).
     """
     if scene.env_map_id < 0:
-        return (
-            np.zeros((1,), np.float32),
-            np.zeros((1, 1), np.float32),
-            np.zeros((1, 1), np.float32),
-        )
+        return np.zeros((1,), np.float32), np.zeros((1, 1), np.float32)
     img = scene.textures[scene.env_map_id]
     h, w, _ = img.shape
     lum = 0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
     sin_t = np.sin((0.5 + np.arange(h)) / h * np.pi)
     f = (lum * sin_t[:, None]).astype(np.float64)
-    row_int = f.sum(axis=1)
-    cond = np.zeros((h, w + 1), np.float64)
-    np.cumsum(f, axis=1, out=cond[:, 1:])
-    safe = np.where(row_int > 0, row_int, 1.0)
-    cond /= safe[:, None]
-    cond[row_int <= 0] = np.linspace(0, 1, w + 1)
-    marg = np.zeros(h + 1, np.float64)
-    np.cumsum(row_int, out=marg[1:])
-    total = marg[-1] if marg[-1] > 0 else 1.0
-    marg /= total
+    flat_cdf = np.zeros(h * w + 1, np.float64)
+    np.cumsum(f.reshape(-1), out=flat_cdf[1:])
+    total = flat_cdf[-1] if flat_cdf[-1] > 0 else 1.0
+    flat_cdf /= total
     # joint pdf over [0,1]²: f / mean(f)
     mean_f = f.mean() if f.mean() > 0 else 1.0
     pdf = (f / mean_f).astype(np.float32)
-    return marg.astype(np.float32), cond.astype(np.float32), pdf
+    return flat_cdf.astype(np.float32), pdf
 
 
 PACKET_LEAF_K = 4
@@ -307,7 +333,7 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
         mat_i32[i, 3] = m.roughness_tex
         mat_i32[i, 4] = m.normal_tex
 
-    atlas, tex_table = _pack_textures(scene)
+    atlas, atlas_u32, tex_table = _pack_textures(scene)
 
     # lights: analytic geoms first, then emissive triangles in post-BVH order
     # (reference: src/scene.cpp:538-558)
@@ -336,7 +362,7 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
     light_tri[: len(lg)] = lt
     light_type[: len(lg)] = lty
 
-    marg, cond, env_pdf_tab = _env_cdfs(scene)
+    env_cdf_flat, env_pdf_tab = _env_cdfs(scene)
 
     # pad triangle/bvh arrays to >=1 row so device gathers are shape-valid
     if tri_data.shape[0] == 0:
@@ -370,12 +396,12 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
         mat_f32=jnp.asarray(mat_f32.T.copy()),
         mat_i32=jnp.asarray(mat_i32.T.copy()),
         atlas=jnp.asarray(atlas),
+        atlas_u32=jnp.asarray(atlas_u32),
         tex_table=jnp.asarray(tex_table),
         light_geom=jnp.asarray(light_geom),
         light_tri=jnp.asarray(light_tri),
         light_type=jnp.asarray(light_type),
-        env_marginal_cdf=jnp.asarray(marg),
-        env_conditional_cdf=jnp.asarray(cond),
+        env_flat_cdf=jnp.asarray(env_cdf_flat),
         env_pdf=jnp.asarray(env_pdf_tab),
     )
     static = SceneStatic(
@@ -396,6 +422,12 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
         num_materials=len(scene.materials),
         env_map_id=scene.env_map_id,
         has_textures=len(scene.textures) > 0,
+        tex_slots=(
+            any(m.albedo_tex >= 0 for m in scene.materials),
+            any(m.metallic_tex >= 0 for m in scene.materials),
+            any(m.roughness_tex >= 0 for m in scene.materials),
+            any(m.normal_tex >= 0 for m in scene.materials),
+        ),
         width=scene.camera.resolution[0],
         height=scene.camera.resolution[1],
         trace_depth=scene.trace_depth,

@@ -31,8 +31,8 @@ def atlas_setup():
     rng = np.random.default_rng(0)
     tex0 = rng.random((7, 5, 3)).astype(np.float32)
     tex1 = rng.random((4, 9, 3)).astype(np.float32)
-    atlas = np.concatenate([tex0.reshape(-1, 3), tex1.reshape(-1, 3)])
-    table = np.array([[0, 5, 7], [35, 9, 4]], np.int32)
+    atlas = np.concatenate([tex0.reshape(-1, 3), tex1.reshape(-1, 3)]).T.copy()
+    table = np.array([[0, 5, 7, 0], [35, 9, 4, 0]], np.int32)
     return tex0, tex1, jnp.asarray(atlas), jnp.asarray(table)
 
 
@@ -125,3 +125,49 @@ class TestDistribution2D:
         uu, vv, pdf_s = d.sample(u1, u2)
         pdf_q = d.pdf(uu, vv)
         np.testing.assert_allclose(np.asarray(pdf_s), np.asarray(pdf_q), rtol=1e-3)
+
+
+class TestPackedAtlas:
+    """uint32-packed LDR atlas (material samplers): lossless vs the float
+    path for 8-bit sources, 1 gather per tap."""
+
+    def test_matches_float_path(self):
+        from pathtracer_tpu.ops.texture import bilinear_sample, bilinear_sample_u32
+
+        rng = np.random.default_rng(6)
+        # 8-bit-quantized source, like PNG textures
+        tex = (rng.integers(0, 256, (9, 13, 3)) / 255.0).astype(np.float32)
+        flat = tex.reshape(-1, 3)
+        atlas_f = jnp.asarray(flat.T.copy())
+        q = np.clip(flat * 255.0 + 0.5, 0, 255).astype(np.uint32)
+        atlas_u = jnp.asarray(q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16))
+        table = jnp.asarray(np.array([[0, 13, 9, 0]], np.int32))
+        uv = jnp.asarray(rng.random((128, 2)).astype(np.float32))
+        tid = jnp.zeros((128,), jnp.int32)
+        a = np.asarray(bilinear_sample(atlas_f, table, tid, uv))
+        b = np.asarray(bilinear_sample_u32(atlas_u, table, tid, uv))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+    def test_rgbe_roundtrip(self):
+        from pathtracer_tpu.ops.texture import bilinear_sample_u32
+
+        rng = np.random.default_rng(7)
+        hdr = (rng.random((6, 8, 3)) * 40.0).astype(np.float32)
+        flat = hdr.reshape(-1, 3)
+        maxc = flat.max(-1)
+        e = np.where(maxc > 1e-32, np.floor(np.log2(maxc)) + 1, 0).astype(np.int32)
+        scale = np.where(maxc > 1e-32, np.ldexp(1.0, -e) * 256.0, 0.0)
+        q = np.clip(flat * scale[:, None], 0, 255).astype(np.uint32)
+        eb = np.where(maxc > 1e-32, e + 128, 0).astype(np.uint32)
+        atlas_u = jnp.asarray(q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16) | (eb << 24))
+        table = jnp.asarray(np.array([[0, 8, 6, 1]], np.int32))
+        # sample exact texel centers → compare vs RGBE-decoded source
+        xs = (np.arange(8) / 7.0).astype(np.float32)
+        ys = (np.arange(6) / 5.0).astype(np.float32)
+        uv = jnp.asarray(np.stack(np.meshgrid(xs, ys), -1).reshape(-1, 2))
+        tid = jnp.zeros((48,), jnp.int32)
+        out = np.asarray(bilinear_sample_u32(atlas_u, table, tid, uv))
+        decoded = (q[:, :3].astype(np.float32) *
+                   np.where(eb == 0, 0.0, np.exp2(eb.astype(np.float32) - 136.0))[:, None])
+        np.testing.assert_allclose(out, decoded.reshape(6, 8, 3).reshape(-1, 3), rtol=1e-5)
