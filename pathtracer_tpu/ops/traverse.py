@@ -176,8 +176,15 @@ def closest_hit(
     if static.num_tris > 0 and use_pallas:
         from pathtracer_tpu.ops.traverse_pallas import closest_hit_bvh_pallas
 
-        # dead lanes get t_init < 0 so whole-dead packets exit at the root
+        # dead lanes get t_init < 0 so whole-dead packets exit at the root;
+        # likewise rays that cannot reach the (triangle) root box within
+        # their current t budget — a cheap XLA pre-test that lets entire
+        # packets of away-facing rays skip the kernel's stack walk
         t_init = t_min if alive is None else jnp.where(alive, t_min, -1.0)
+        root = flat.bvh_pk[0]
+        rb_hit, rb_enter = ray_aabb(root[0:3], root[3:6], o, d)
+        reachable = rb_hit & (rb_enter <= t_init)
+        t_init = jnp.where(reachable, t_init, -1.0)
         t_pk, tri_pk, u_pk, v_pk = closest_hit_bvh_pallas(
             flat.bvh_pk, flat.tri_pk, o, d, t_init
         )
@@ -239,6 +246,10 @@ def occlusion_test(
         from pathtracer_tpu.ops.traverse_pallas import occlusion_bvh_pallas
 
         min_t_eff = min_t if enabled is None else jnp.where(enabled, min_t, -1.0)
+        root = flat.bvh_pk[0]
+        rb_hit, rb_enter = ray_aabb(root[0:3], root[3:6], ori, dir)
+        reachable = rb_hit & (rb_enter <= min_t_eff)
+        min_t_eff = jnp.where(reachable, min_t_eff, -1.0)
         occluded = occlusion_bvh_pallas(
             flat.bvh_pk, flat.tri_pk, ori, dir, min_t_eff, occluded
         )

@@ -38,8 +38,10 @@ TILE_ROWS = 16
 TILE_LANES = 128
 TILE = TILE_ROWS * TILE_LANES
 STACK_DEPTH = 96
-LEAF_K = 4  # packet-tree leaves hold up to 4 triangles (pruned cut of the
-# MAX_PRIM=1 reference tree; physics identical, 4x fewer nodes in VMEM)
+LEAF_K = 32  # packet-tree leaves hold up to 32 triangles (pruned cut of the
+# MAX_PRIM=1 reference tree; physics identical, ~60x fewer serial node
+# visits — leaf triangle tests are vectorized lane work, node pops are
+# serial scalar work, so deep pruning trades the right way)
 FLT_MAX = 3.402823466e38
 
 

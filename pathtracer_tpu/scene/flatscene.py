@@ -229,7 +229,7 @@ def _env_cdfs(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
     return flat_cdf.astype(np.float32), pdf
 
 
-PACKET_LEAF_K = 4
+PACKET_LEAF_K = 32
 
 
 def _scene_bounds(scene: SceneData, bvh: FlatBVH) -> tuple:
