@@ -236,6 +236,9 @@ class Renderer:
                     "width": self.width,
                     "height": self.height,
                     "mode": int(self.opts.sample_mode),
+                    # the accumulator is LANE-ordered; loading under a
+                    # different pixel mapping would scramble the image
+                    "swizzled": self.pixel_order is not None,
                 }
             ),
         )
@@ -245,6 +248,11 @@ class Renderer:
         meta = json.loads(str(data["meta"]))
         if (meta["width"], meta["height"]) != (self.width, self.height):
             raise ValueError("checkpoint resolution mismatch")
+        if meta.get("swizzled", False) != (self.pixel_order is not None):
+            raise ValueError(
+                "checkpoint pixel-order mismatch (saved with a different "
+                "swizzle setting)"
+            )
         self.img = jnp.asarray(data["img"])
         self.iteration = int(data["iteration"])
         self.camera = derive_camera(

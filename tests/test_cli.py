@@ -50,3 +50,42 @@ class TestCli:
     def test_bad_res(self):
         with pytest.raises(SystemExit):
             cli.main(["render", "x.txt", "--cpu", "--res", "64"])
+
+
+class TestCheckpointGuards:
+    def test_swizzle_mismatch_rejected(self, tmp_path):
+        import textwrap
+        from pathtracer_tpu.integrator.render import Renderer
+        from pathtracer_tpu.utils.config import RenderOptions, SampleMode
+        from tests.test_traverse import tri_soup_scene
+
+        scene = tri_soup_scene(tmp_path, n=600)  # >=512 tris → swizzle active
+        r = Renderer(scene, opts=RenderOptions(sample_mode=SampleMode.BSDF))
+        assert r.pixel_order is not None
+        r.step(1)
+        ck = tmp_path / "ck.npz"
+        r.save_checkpoint(ck)
+        r2 = Renderer(
+            scene,
+            opts=RenderOptions(sample_mode=SampleMode.BSDF, swizzle=False),
+        )
+        with pytest.raises(ValueError, match="pixel-order"):
+            r2.load_checkpoint(ck)
+
+    def test_checkpoint_roundtrip_with_swizzle(self, tmp_path):
+        import numpy as np
+        from pathtracer_tpu.integrator.render import Renderer
+        from pathtracer_tpu.utils.config import RenderOptions, SampleMode
+        from tests.test_traverse import tri_soup_scene
+
+        scene = tri_soup_scene(tmp_path, n=600)
+        r = Renderer(scene, opts=RenderOptions(sample_mode=SampleMode.BSDF))
+        r.step(3)
+        ck = tmp_path / "ck.npz"
+        r.save_checkpoint(ck)
+        r.step(2)
+        a = r.ldr_image()
+        r2 = Renderer(scene, opts=RenderOptions(sample_mode=SampleMode.BSDF))
+        r2.load_checkpoint(ck)
+        r2.step(2)
+        np.testing.assert_array_equal(a, r2.ldr_image())
