@@ -1,0 +1,30 @@
+"""The driver-checked deliverables must work from ANY host process state.
+
+Round 1's multi-chip dryrun failed because the driver's process had a live
+remote-TPU backend whose libtpu version mismatched; dryrun_multichip is now
+hermetic (subprocess with a scrubbed, forced-CPU environment).  This test
+runs it from inside the pytest process (which itself has jax-on-CPU live)
+to pin the subprocess isolation.
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import __graft_entry__ as graft
+
+
+def test_dryrun_multichip_hermetic():
+    # 4 devices keeps the CPU compile short; the driver runs 8.
+    graft.dryrun_multichip(4)
+
+
+def test_entry_compiles():
+    import jax
+
+    fn, args = graft.entry()
+    img, rays = jax.jit(fn)(*args)
+    jax.block_until_ready(img)
+    assert img.shape == (64 * 64, 3)
+    assert int(rays) > 0
