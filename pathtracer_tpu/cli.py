@@ -64,7 +64,6 @@ def _print_devices():
 def cmd_render(args) -> int:
     from pathtracer_tpu.integrator.render import Renderer
     from pathtracer_tpu.utils.config import RenderOptions
-    from pathtracer_tpu.utils import rng
 
     _print_devices()
 
@@ -77,7 +76,7 @@ def cmd_render(args) -> int:
         resolution=_parse_res(args.res),
         trace_depth=args.depth,
     )
-    r.key = rng.base_key(args.seed)
+    r.set_seed(args.seed)
     if args.resume and Path(args.resume).exists():
         r.load_checkpoint(args.resume)
         print(f"resumed from {args.resume} at iteration {r.iteration}")
@@ -211,7 +210,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     try:
         return args.fn(args)
-    except FileNotFoundError as e:
+    except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
 

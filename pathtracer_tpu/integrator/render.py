@@ -87,7 +87,7 @@ class Renderer:
         from pathtracer_tpu.ops.traverse import _packet_tables_fit
 
         if self.opts.pallas_traversal and (
-            jax.default_backend() == "cpu" or not _packet_tables_fit(self.flat)
+            jax.default_backend() == "cpu" or not _packet_tables_fit(self.flat, self.static)
         ):
             from dataclasses import replace as _dc_replace
 
@@ -117,21 +117,39 @@ class Renderer:
             self._bounce_fn = jax.jit(builder.bounce_step)
         else:
             self._iter_fn = jax.jit(builder)
+        self.seed = 0
         self.key = rng.base_key(0)
+        self.traced_depth = 0  # live depth reached last iteration
+        self.cam_position = None  # interactive pan/zoom override (None = scene)
         self.reset()
         self.stats = RenderStats()
 
+    def set_seed(self, seed: int):
+        self.seed = int(seed)
+        self.key = rng.base_key(self.seed)
+
+    @staticmethod
+    def _force(x) -> None:
+        """Wait for device work to ACTUALLY finish before reading the clock.
+
+        jax.block_until_ready does not reliably block on this backend
+        (CLAUDE.md environment notes); a tiny device→host readback does.
+        """
+        np.asarray(x[0])
+
     def _run_iteration(self, cam, iteration):
-        """One progressive sample for every pixel; returns (img, rays)."""
+        """One progressive sample per pixel; returns (img, rays, depth)."""
         it = jnp.int32(iteration)
         if not self.staged:
             return self._iter_fn(self.flat, cam, self.img, it, self.key)
         state = self._start_fn(self.flat, cam, self.img, it, self.key)
+        laps = 0
         for _ in range(self.static.trace_depth + 1):
             state, alive = self._bounce_fn(self.flat, self.key, it, state)
+            laps += 1
             if int(alive) == 0:
                 break
-        return state.img, state.rays_traced
+        return state.img, state.rays_traced, laps
 
     # -- state --------------------------------------------------------------
     def reset(self):
@@ -142,8 +160,47 @@ class Renderer:
         self.iteration = 0
 
     def set_orbit(self, theta: float, phi: float):
-        """Interactive orbit (reference: src/main.cpp:255-289 mouse drag)."""
-        self.camera = derive_camera(self.scene.camera, theta=theta, phi=phi)
+        """Interactive orbit — rotates the view basis, position unchanged
+        (reference: src/main.cpp:255-261 left drag + :173-193 rebuild)."""
+        self.camera = derive_camera(
+            self.scene.camera, theta=theta, phi=phi, position=self.cam_position
+        )
+        self.reset()
+
+    def pan(self, dx_px: float, dy_px: float):
+        """Middle-drag translate along the ground-projected right/forward
+        axes, 0.01 world units per pixel (reference: src/main.cpp:268-281)."""
+        fwd = np.array(self.camera.view, np.float64)
+        fwd[1] = 0.0
+        fwd /= max(np.linalg.norm(fwd), 1e-12)
+        right = np.array(self.camera.right, np.float64)
+        right[1] = 0.0
+        right /= max(np.linalg.norm(right), 1e-12)
+        pos = np.array(self.camera.position, np.float64)
+        pos -= dx_px * right * 0.01
+        pos += dy_px * fwd * 0.01
+        self.cam_position = tuple(float(x) for x in pos)
+        self.camera = derive_camera(
+            self.scene.camera, theta=self.camera.theta, phi=self.camera.phi,
+            position=self.cam_position,
+        )
+        self.reset()
+
+    def zoom(self, dy_frac: float):
+        """Right-drag dolly along the view direction.
+
+        The reference tracks `zoom += dy/height` (src/main.cpp:263-266) but
+        the code that applies it to the camera position is commented out
+        (src/main.cpp:174-190) — right drag only resets accumulation there.
+        We implement the evident intent: dolly by the same magnitude.
+        """
+        pos = np.array(self.camera.position, np.float64)
+        pos -= np.array(self.camera.view, np.float64) * dy_frac
+        self.cam_position = tuple(float(x) for x in pos)
+        self.camera = derive_camera(
+            self.scene.camera, theta=self.camera.theta, phi=self.camera.phi,
+            position=self.cam_position,
+        )
         self.reset()
 
     def _cam_arrays(self) -> CameraArrays:
@@ -162,24 +219,31 @@ class Renderer:
         first = self.iteration == 0 and self.stats.compile_seconds == 0.0
         if first:
             t0 = time.perf_counter()
-            img, rays = self._run_iteration(cam, self.iteration + 1)
-            jax.block_until_ready(img)
+            img, rays, depth = self._run_iteration(cam, self.iteration + 1)
+            self.traced_depth = int(depth)
+            self._force(img)
             self.stats.compile_seconds = time.perf_counter() - t0
             self.img = img
             self.iteration += 1
             self.stats.iterations_done += 1
-            self.stats.rays_traced += int(rays)
+            # the compile iteration's rays are NOT booked: its wall time
+            # goes to compile_seconds, so counting them would inflate
+            # mrays_per_sec for short renders
             num_iterations -= 1
 
         t0 = time.perf_counter()
         # accumulate on device in f32 (int32 overflows beyond ~2e9 rays;
         # x64 is disabled on TPU)
         rays_total = jnp.float32(0)
+        depth = None
         for _ in range(num_iterations):
-            self.img, rays = self._run_iteration(cam, self.iteration + 1)
+            self.img, rays, depth = self._run_iteration(cam, self.iteration + 1)
             rays_total = rays_total + rays.astype(jnp.float32)
             self.iteration += 1
-        jax.block_until_ready(self.img)
+        self._force(self.img)
+        if depth is not None:
+            # live traced depth (reference: src/pathtrace.cu:793-796)
+            self.traced_depth = int(depth)
         dt = time.perf_counter() - t0
         self.stats.iterations_done += max(num_iterations, 0)
         self.stats.rays_traced += int(rays_total)
@@ -236,6 +300,7 @@ class Renderer:
                     "width": self.width,
                     "height": self.height,
                     "mode": int(self.opts.sample_mode),
+                    "seed": self.seed,
                     # the accumulator is LANE-ordered; loading under a
                     # different pixel mapping would scramble the image
                     "swizzled": self.pixel_order is not None,
@@ -252,6 +317,18 @@ class Renderer:
             raise ValueError(
                 "checkpoint pixel-order mismatch (saved with a different "
                 "swizzle setting)"
+            )
+        # resuming with a different estimator or RNG stream would silently
+        # blend two different sequences into one accumulator
+        if "mode" in meta and meta["mode"] != int(self.opts.sample_mode):
+            raise ValueError(
+                f"checkpoint sample-mode mismatch (saved mode {meta['mode']}, "
+                f"current {int(self.opts.sample_mode)})"
+            )
+        if "seed" in meta and int(meta["seed"]) != self.seed:
+            raise ValueError(
+                f"checkpoint RNG-seed mismatch (saved seed {meta['seed']}, "
+                f"current {self.seed})"
             )
         self.img = jnp.asarray(data["img"])
         self.iteration = int(data["iteration"])

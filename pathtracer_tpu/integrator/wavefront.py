@@ -134,7 +134,10 @@ def make_render_iteration(
 ):
     """Build the jittable one-iteration render function.
 
-    Returns f(flat, cam, img, iteration, key, pixel0=0) -> (img, rays_traced).
+    Returns f(flat, cam, img, iteration, key, pixel0=0) ->
+    (img, rays_traced, traced_depth) — traced_depth is the number of bounce
+    laps actually executed (the reference's live guiData->TracedDepth,
+    reference: src/pathtrace.cu:793-796).
     `img` is the running radiance SUM over iterations, (local_rows·W, 3)
     float32 (display divides by the iteration count, like the reference's
     dev_image).  `width`/`height` are the FULL film resolution;
@@ -235,7 +238,7 @@ def make_render_iteration(
 
         if mode == SampleMode.DIRECT_LI:
             # reference: src/pathtrace.cu:348-403 — one NEE bounce, then stop
-            li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 3)
+            li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
             lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee)
             rays_traced = rays_traced + jnp.sum((alive & ~is_light).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
@@ -289,7 +292,7 @@ def make_render_iteration(
 
         # --- NEE term (MIS only, non-delta) ---
         if mode == SampleMode.MIS:
-            li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 3)
+            li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
             lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee)
             rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
@@ -363,7 +366,7 @@ def make_render_iteration(
         state = jax.lax.while_loop(
             cond, partial(bounce_body, flat, key, iteration, pixel0), state
         )
-        return state.img, state.rays_traced
+        return state.img, state.rays_traced, state.depth
 
     def start_state(flat: FlatScene, cam: CameraArrays, img, iteration, key, pixel0=0):
         """Staged-mode entry: build the initial wavefront (raygen only)."""

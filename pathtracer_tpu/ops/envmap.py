@@ -24,11 +24,11 @@ from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
 from pathtracer_tpu.utils.config import PI, TWO_PI
 
 
-def sample_env(flat: FlatScene, static: SceneStatic, u1, u2):
+def sample_env(flat: FlatScene, static: SceneStatic, u1, u2, u3):
     """Importance-sample the env map.  Returns (dir (N,3), Le (N,3), pdf_ω).
 
     Uses ONE flattened (H·W+1,) CDF + binary search; u1 picks the texel,
-    u2 jitters within it (a marginal/conditional pair would need a
+    u2/u3 jitter within it (a marginal/conditional pair would need a
     per-ray row gather of W+1 floats — gigabytes at pool scale)."""
     cdf = flat.env_flat_cdf
     pdf_tab = flat.env_pdf             # (H, W) joint pdf over [0,1]²
@@ -37,9 +37,10 @@ def sample_env(flat: FlatScene, static: SceneStatic, u1, u2):
     idx = jnp.clip(jnp.searchsorted(cdf, u1, side="right") - 1, 0, h * w - 1)
     row = idx // w
     col = idx % w
-    # jitter inside the texel (u2 splits into two sub-uniforms)
-    j1 = jnp.mod(u2 * 64.0, 1.0)
-    j2 = jnp.mod(u2 * 4096.0, 1.0)
+    # jitter inside the texel with two INDEPENDENT uniforms (deriving both
+    # from one via fract(u·2^k) correlates the intra-texel offsets)
+    j1 = u2
+    j2 = u3
     u = (col.astype(jnp.float32) + j1) / w
     v = (row.astype(jnp.float32) + j2) / h
 

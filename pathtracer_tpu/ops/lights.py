@@ -105,7 +105,9 @@ def light_sample(
 ) -> LightSampleRecord:
     """Sample one light per ray, with occlusion.
 
-    `rands` is (N, 3): col 0 the light pick, cols 1-2 the area/cone sample.
+    `rands` is (N, 3) — col 0 the light pick, cols 1-2 the area/cone
+    sample — or (N, 4) when `include_env`, col 3 being the env texel
+    jitter's second axis.
     With `include_env` the environment map participates as one more light
     (importance-sampled via its luminance·sinθ CDF) — our completion of the
     reference's env-MIS TODO (README.md:25-27), off by default.
@@ -170,7 +172,9 @@ def light_sample(
     if include_env:
         from pathtracer_tpu.ops.envmap import sample_env
 
-        env_dir, env_le, env_pdf_w = sample_env(flat, static, xi[:, 0], xi[:, 1])
+        env_dir, env_le, env_pdf_w = sample_env(
+            flat, static, xi[:, 0], xi[:, 1], rands[:, 3]
+        )
         em = is_env[..., None]
         light_pos = jnp.where(em, view_pos + env_dir * 1e7, light_pos)
         pdf = jnp.where(is_env, env_pdf_w * inv_l, pdf)

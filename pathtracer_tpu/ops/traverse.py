@@ -144,12 +144,20 @@ def _bvh_closest(flat: FlatScene, static: SceneStatic, o, d, t_min, tri, u, v):
     return t_min, tri, u, v
 
 
-def _packet_tables_fit(flat: FlatScene) -> bool:
+def _packet_tables_fit(flat: FlatScene, static: SceneStatic) -> bool:
     """Packet kernels keep node scalars in SMEM (~1 MB) and triangles in
-    VMEM; scenes beyond those budgets fall back to the XLA walk."""
+    VMEM, and walk with a fixed-depth SMEM stack; scenes beyond those
+    budgets (or with an SAH tree skewed deeper than the stack) fall back
+    to the XLA walk."""
+    from pathtracer_tpu.ops.traverse_pallas import STACK_DEPTH
+
     nn = flat.bvh_pk.shape[0]
     nt = flat.tri_pk.shape[0]
-    return nn * 40 <= 800_000 and nt * 48 <= 8_000_000
+    return (
+        nn * 40 <= 800_000
+        and nt * 48 <= 8_000_000
+        and static.packet_depth + 2 <= STACK_DEPTH
+    )
 
 
 def closest_hit(
@@ -172,7 +180,7 @@ def closest_hit(
     bitangent = jnp.zeros((N, 3), jnp.float32)
 
     if static.num_tris > 0 and use_pallas:
-        use_pallas = _packet_tables_fit(flat)
+        use_pallas = _packet_tables_fit(flat, static)
     if static.num_tris > 0 and use_pallas:
         from pathtracer_tpu.ops.traverse_pallas import closest_hit_bvh_pallas
 
@@ -241,7 +249,7 @@ def occlusion_test(
         occluded = occluded | blocked
 
     if static.num_tris > 0 and use_pallas:
-        use_pallas = _packet_tables_fit(flat)
+        use_pallas = _packet_tables_fit(flat, static)
     if static.num_tris > 0 and use_pallas:
         from pathtracer_tpu.ops.traverse_pallas import occlusion_bvh_pallas
 

@@ -49,9 +49,16 @@ def _aabb_packet(nf, ox, oy, oz, idx, idy, idz):
     """Slab test of one node's AABB against the packet.
 
     nf: 6 scalars (bmin.xyz, bmax.xyz); id* = 1/d components.
-    Returns (hit_mask, t_enter) per lane; replicates ray_aabb semantics
-    including the zero-direction origin-containment fallback (inf*0 cases
-    resolve identically because inv_d = ±inf gives ±inf slopes).
+    Returns (hit_mask, t_enter) per lane.
+
+    Parity note (documented divergence from ops/intersect.ray_aabb): when a
+    direction component is EXACTLY 0 the slopes are ±inf and resolve like
+    the XLA path, EXCEPT when the origin coordinate also lies exactly on a
+    node bound — then 0·inf = NaN and this kernel REJECTS the node, while
+    ray_aabb's origin-containment fallback can accept it.  The case is
+    measure-zero (float-exact equality on two axes at once) and adding the
+    containment selects would cost ~12 extra VPU ops per node visit in the
+    hottest loop, so it is documented rather than replicated.
     """
     lo_x = (nf[0] - ox) * idx
     hi_x = (nf[3] - ox) * idx

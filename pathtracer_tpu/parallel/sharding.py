@@ -72,7 +72,7 @@ def make_sharded_iteration(
     def local_step(flat, cam, img_local, iteration, key):
         d = jax.lax.axis_index(AXIS)
         pixel0 = d.astype(jnp.int32) * jnp.int32(local_h * width)
-        img_local, rays = local_iter(flat, cam, img_local, iteration, key, pixel0)
+        img_local, rays, _ = local_iter(flat, cam, img_local, iteration, key, pixel0)
         rays = jax.lax.psum(rays, AXIS)
         return img_local, rays
 
@@ -120,7 +120,7 @@ def sample_parallel_step(
         d = jax.lax.axis_index(AXIS)
         # device d renders iteration n_dev*(iteration-1) + d + 1
         it = (iteration - 1) * n_dev + d.astype(jnp.int32) + 1
-        img_local, rays = full_iter(flat, cam, img_local, it, key)
+        img_local, rays, _ = full_iter(flat, cam, img_local, it, key)
         rays = jax.lax.psum(rays, AXIS)
         return img_local, rays
 

@@ -49,19 +49,26 @@ _PAGE = """<!DOCTYPE html>
     <option value="2">MIS</option></select>
    <button onclick="fetch('/reset')">reset</button>
    <button onclick="fetch('/save')">save PNG</button></p>
-  <p>drag the image to orbit (reference ImGui/mouse parity)</p>
+  <p>left-drag orbit · right-drag zoom · middle-drag pan
+     (reference mouse parity)</p>
  </div>
 </div>
 <script>
 const img = document.getElementById('frame');
-let drag = null;
-img.onmousedown = e => { drag = [e.clientX, e.clientY]; };
+img.oncontextmenu = e => e.preventDefault();
+let drag = null, btn = 0;
+img.onmousedown = e => { drag = [e.clientX, e.clientY]; btn = e.button; };
 window.onmouseup = () => { drag = null; };
 window.onmousemove = e => {
   if (!drag) return;
   const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
   drag = [e.clientX, e.clientY];
-  fetch(`/orbit?dphi=${dx*0.4}&dtheta=${-dy*0.4}`);
+  if (btn === 0)      // left: orbit (reference src/main.cpp:255-261)
+    fetch(`/orbit?dphi=${dx*0.4}&dtheta=${-dy*0.4}`);
+  else if (btn === 2) // right: dolly (reference src/main.cpp:263-266)
+    fetch(`/zoom?dy=${dy/img.height}`);
+  else if (btn === 1) // middle: pan (reference src/main.cpp:268-281)
+    fetch(`/pan?dx=${dx}&dy=${dy}`);
 };
 document.getElementById('mode').onchange = e => fetch('/mode?m='+e.target.value);
 setInterval(() => { img.src = '/frame.png?' + Date.now(); }, 900);
@@ -80,12 +87,18 @@ class PreviewState:
         self.renderer = renderer
         self.lock = threading.Lock()
         self.pending_orbit = None   # (dtheta, dphi)
+        self.pending_zoom = None    # dy fraction (right drag)
+        self.pending_pan = None     # (dx_px, dy_px) (middle drag)
         self.pending_mode = None
         self.pending_reset = False
         self.pending_save = False
         self.frame_png = b""
         self.stats = {}
         self.running = True
+        # monotonically increments whenever accumulation restarts — an
+        # EVENT the tests can wait on (sampling renderer.iteration races
+        # with the render loop advancing it again)
+        self.accum_resets = 0
 
     def snapshot(self):
         r = self.renderer
@@ -98,37 +111,55 @@ class PreviewState:
                 "iteration": r.iteration,
                 "mode": r.opts.sample_mode.name,
                 "Mrays/s": round(r.stats.mrays_per_sec, 2),
-                "traced depth": r.static.trace_depth,
+                # LIVE depth reached last iteration (reference ImGui panel,
+                # src/pathtrace.cu:793-796), not the static scene maximum
+                "traced depth": r.traced_depth,
                 "triangles": r.static.num_tris,
                 "BVH nodes": r.static.num_bvh_nodes,
                 "resolution": f"{r.width}x{r.height}",
                 "camera": "(%.2f, %.2f, %.2f)" % tuple(r.camera.position),
                 "theta/phi": "%.1f / %.1f" % (r.camera.theta, r.camera.phi),
+                "resets": self.accum_resets,
             }
 
     def apply_pending(self):
         """Called by the render loop between iterations."""
         with self.lock:
             orbit, self.pending_orbit = self.pending_orbit, None
+            zoom, self.pending_zoom = self.pending_zoom, None
+            pan, self.pending_pan = self.pending_pan, None
             mode, self.pending_mode = self.pending_mode, None
             reset, self.pending_reset = self.pending_reset, False
             save, self.pending_save = self.pending_save, False
         r = self.renderer
+        restarted = False
         if mode is not None and int(mode) != int(r.opts.sample_mode):
             from pathtracer_tpu.integrator.render import Renderer
 
             new = Renderer(r.scene, opts=r.opts.with_mode(int(mode)))
             new.camera = r.camera
             self.renderer = new
+            restarted = True
         if orbit is not None:
             dtheta, dphi = orbit
             cam = self.renderer.camera
             theta = float(np.clip(cam.theta + dtheta, -89.0, 89.0))
             self.renderer.set_orbit(theta, cam.phi + dphi)
+            restarted = True
+        if zoom is not None:
+            self.renderer.zoom(float(zoom))
+            restarted = True
+        if pan is not None:
+            self.renderer.pan(float(pan[0]), float(pan[1]))
+            restarted = True
         if reset:
             self.renderer.reset()
+            restarted = True
         if save:
             self.renderer.save_png(f"{self.renderer.static.image_name}.preview.png")
+        if restarted:
+            with self.lock:
+                self.accum_resets += 1
 
 
 def _write_png_bytes(buf, img):
@@ -184,6 +215,22 @@ def make_handler(state: PreviewState):
                         dt += state.pending_orbit[0]
                         dp += state.pending_orbit[1]
                     state.pending_orbit = (dt, dp)
+                self._send(200, "text/plain", b"ok")
+            elif url.path == "/zoom":
+                with state.lock:
+                    dy = float(q.get("dy", ["0"])[0])
+                    if state.pending_zoom:
+                        dy += state.pending_zoom
+                    state.pending_zoom = dy
+                self._send(200, "text/plain", b"ok")
+            elif url.path == "/pan":
+                with state.lock:
+                    dx = float(q.get("dx", ["0"])[0])
+                    dy = float(q.get("dy", ["0"])[0])
+                    if state.pending_pan:
+                        dx += state.pending_pan[0]
+                        dy += state.pending_pan[1]
+                    state.pending_pan = (dx, dy)
                 self._send(200, "text/plain", b"ok")
             elif url.path == "/mode":
                 with state.lock:

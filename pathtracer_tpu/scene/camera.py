@@ -52,10 +52,16 @@ class RenderCamera:
         )
 
 
-def derive_camera(cam: CameraDesc, theta: float | None = None, phi: float | None = None) -> RenderCamera:
+def derive_camera(
+    cam: CameraDesc,
+    theta: float | None = None,
+    phi: float | None = None,
+    position: tuple[float, float, float] | None = None,
+) -> RenderCamera:
     """Produce the basis the reference actually renders with.
 
-    Optional theta/phi override = interactive orbit (the mouse drag path,
+    Optional theta/phi override = interactive orbit; optional position
+    override = interactive pan/dolly (the mouse drag paths,
     reference: src/main.cpp:229-289).
     """
     w, h = cam.resolution
@@ -85,10 +91,11 @@ def derive_camera(cam: CameraDesc, theta: float | None = None, phi: float | None
     xscaled = yscaled * w / h
     pixel_length = (2.0 * xscaled / w, 2.0 * yscaled / h)
 
+    pos = cam.position if position is None else position
     return RenderCamera(
         width=w,
         height=h,
-        position=tuple(float(x) for x in cam.position),
+        position=tuple(float(x) for x in pos),
         view=tuple(float(x) for x in view),
         up=tuple(float(x) for x in up),
         right=tuple(float(x) for x in right),

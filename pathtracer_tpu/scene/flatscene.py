@@ -90,6 +90,8 @@ class SceneStatic:
     scene_bounds: tuple  # (bmin xyz, bmax xyz) of ALL geometry — the ray
     # sort's spatial hash grid (the BVH root covers triangles only)
     analytic_lights: tuple  # (light_idx, geom_idx, geom_type) for non-OBJ lights
+    packet_depth: int  # cut-tree max depth — gates the Pallas path (its
+    # SMEM traversal stack holds at most depth+1 internal nodes)
     num_geoms: int
     num_tris: int
     num_bvh_nodes: int
@@ -252,7 +254,7 @@ def _scene_bounds(scene: SceneData, bvh: FlatBVH) -> tuple:
     return tuple(float(x) for x in lo) + tuple(float(x) for x in hi)
 
 
-def build_packet_tables(bvh: FlatBVH) -> tuple[np.ndarray, np.ndarray]:
+def build_packet_tables(bvh: FlatBVH) -> tuple[np.ndarray, int]:
     """Derive the Pallas packet-traversal tables from the MAX_PRIM=1 tree.
 
     Cuts the tree at nodes spanning <= PACKET_LEAF_K triangles (those
@@ -260,25 +262,32 @@ def build_packet_tables(bvh: FlatBVH) -> tuple[np.ndarray, np.ndarray]:
     the SAME triangle ordering, so physics is identical while the node
     table shrinks ~4x (VMEM residency).  Rows are (nn, 16) float32:
     [bmin(3) bmax(3) start end left right pad(6)] with int fields bitcast.
+
+    Also returns the cut tree's max depth (root = 0): the kernel's SMEM
+    traversal stack holds at most depth+1 internal nodes, so scenes whose
+    SAH tree is skewed beyond the stack budget must fall back to the XLA
+    walk instead of silently corrupting SMEM (see _packet_tables_fit).
     """
     nn = bvh.num_nodes
     if nn == 0:
         rows = np.zeros((1, 16), np.float32)
         rows[:, 8:10] = np.array([-1, -1], np.int32).view(np.float32)  # leaf
-        return rows, None
+        return rows, 0
     keep = np.zeros(nn, bool)
     new_id = np.full(nn, -1, np.int32)
     order = []
-    stack = [0]
+    stack = [(0, 0)]
+    max_depth = 0
     while stack:
-        i = stack.pop()
+        i, depth = stack.pop()
+        max_depth = max(max_depth, depth)
         keep[i] = True
         new_id[i] = len(order)
         order.append(i)
         span = bvh.end[i] - bvh.start[i]
         if span > PACKET_LEAF_K and bvh.left[i] >= 0:
-            stack.append(int(bvh.right[i]))
-            stack.append(int(bvh.left[i]))
+            stack.append((int(bvh.right[i]), depth + 1))
+            stack.append((int(bvh.left[i]), depth + 1))
     order = np.asarray(order, np.int64)
     rows = np.zeros((len(order), 16), np.float32)
     rows[:, 0:3] = bvh.bbox_min[order]
@@ -291,7 +300,7 @@ def build_packet_tables(bvh: FlatBVH) -> tuple[np.ndarray, np.ndarray]:
     ints[:, 2] = np.where(is_cut_leaf, -1, new_id[np.maximum(bvh.left[order], 0)])
     ints[:, 3] = np.where(is_cut_leaf, -1, new_id[np.maximum(bvh.right[order], 0)])
     rows[:, 6:10] = ints.view(np.float32)
-    return rows, None
+    return rows, max_depth
 
 
 def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
@@ -377,7 +386,7 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
         bvh_i32[:, 1] = bvh.end
         bvh_i32[:, 2] = bvh.hit
         bvh_i32[:, 3] = bvh.miss
-    bvh_pk, _ = build_packet_tables(bvh)
+    bvh_pk, packet_depth = build_packet_tables(bvh)
     tri_pk = np.zeros((tri_data.shape[0], 12), np.float32)
     tri_pk[:, 0:9] = tri_data[:, 0:9]
 
@@ -414,6 +423,7 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
             for li in range(len(lg))
             if lt[li] < 0
         ),
+        packet_depth=packet_depth,
         num_geoms=len(scene.geoms),
         num_tris=int(bvh.order.shape[0]),
         num_bvh_nodes=bvh.num_nodes,

@@ -71,7 +71,8 @@ class TestEnvSampling:
         rng = np.random.default_rng(6)
         u1 = jnp.asarray(rng.random(2000, dtype=np.float32))
         u2 = jnp.asarray(rng.random(2000, dtype=np.float32))
-        d, le, pdf_s = sample_env(flat, static, u1, u2)
+        u3 = jnp.asarray(rng.random(2000, dtype=np.float32))
+        d, le, pdf_s = sample_env(flat, static, u1, u2, u3)
         # unit directions
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(d), axis=-1), 1.0, atol=1e-5
@@ -86,7 +87,8 @@ class TestEnvSampling:
         rng = np.random.default_rng(7)
         u1 = jnp.asarray(rng.random(2000, dtype=np.float32))
         u2 = jnp.asarray(rng.random(2000, dtype=np.float32))
-        d, le, pdf = sample_env(flat, static, u1, u2)
+        u3 = jnp.asarray(rng.random(2000, dtype=np.float32))
+        d, le, pdf = sample_env(flat, static, u1, u2, u3)
         lum = np.asarray(le).mean(-1)
         # most samples should land on the 25.0 patch
         assert (lum > 10).mean() > 0.8

@@ -24,7 +24,8 @@ def test_entry_compiles():
     import jax
 
     fn, args = graft.entry()
-    img, rays = jax.jit(fn)(*args)
+    img, rays, depth = jax.jit(fn)(*args)
     jax.block_until_ready(img)
     assert img.shape == (64 * 64, 3)
     assert int(rays) > 0
+    assert int(depth) >= 1

@@ -100,26 +100,59 @@ class TestPreviewServer:
 
     def test_orbit_resets_accumulation(self, preview):
         state, base = preview
-        time.sleep(2)
+        resets0 = state.accum_resets
         get(base, "/orbit?dtheta=10&dphi=-15").read()
-        # observe the camera change (the loop applies pending orbits between
-        # iterations; iteration count restarts but advances again quickly,
-        # so assert on the pose + that accumulation went DOWN at some point)
-        before = state.renderer.iteration
+        # wait on EVENTS (pose + reset counter), not on sampling the
+        # iteration count — iteration advances again immediately after the
+        # reset, so a sampled dip is a race
         deadline = time.time() + 60
         theta_ok = False
-        dropped = False
         while time.time() < deadline:
             r = state.renderer
             if abs(r.camera.theta - 10.0) < 1e-3:
                 theta_ok = True
-            if r.iteration < before:
-                dropped = True
-            if theta_ok and dropped:
+            if theta_ok and state.accum_resets > resets0:
                 break
             time.sleep(0.05)
         assert theta_ok, "orbit should change theta"
-        assert dropped, "orbit should reset accumulation"
+        assert state.accum_resets > resets0, "orbit should reset accumulation"
+
+    def test_zoom_and_pan(self, preview):
+        state, base = preview
+        pos0 = np.array(state.renderer.camera.position)
+        view0 = np.array(state.renderer.camera.view)
+        resets0 = state.accum_resets
+        get(base, "/zoom?dy=0.5").read()
+        deadline = time.time() + 60
+        while time.time() < deadline and state.accum_resets == resets0:
+            time.sleep(0.05)
+        pos1 = np.array(state.renderer.camera.position)
+        # dolly: moved opposite the view by 0.5 (reference zoom magnitude)
+        np.testing.assert_allclose(pos1, pos0 - 0.5 * view0, atol=1e-5)
+
+        resets1 = state.accum_resets
+        get(base, "/pan?dx=100&dy=0").read()
+        deadline = time.time() + 60
+        while time.time() < deadline and state.accum_resets == resets1:
+            time.sleep(0.05)
+        pos2 = np.array(state.renderer.camera.position)
+        # pan: -dx * ground-projected right * 0.01 (reference main.cpp:268-281)
+        right = np.array(state.renderer.camera.right)
+        right[1] = 0.0
+        right /= np.linalg.norm(right)
+        np.testing.assert_allclose(pos2, pos1 - 1.0 * right, atol=1e-5)
+
+    def test_live_traced_depth(self, preview):
+        state, base = preview
+        deadline = time.time() + 60
+        depth = 0
+        while time.time() < deadline:
+            stats = json.loads(get(base, "/stats.json").read() or b"{}")
+            depth = stats.get("traced depth", 0)
+            if depth > 0:
+                break
+            time.sleep(0.5)
+        assert 1 <= depth <= state.renderer.static.trace_depth + 1
 
     def test_mode_switch(self, preview):
         state, base = preview

@@ -46,7 +46,7 @@ def test_sample_parallel_equals_sequential(tmp_path, reference_scenes):
     full = jax.jit(make_render_iteration(static, opts, 48, 48))
     img1 = jnp.zeros((n, 3), jnp.float32)
     for it in range(1, 8 * rounds + 1):
-        img1, _ = full(flat, cam, img1, jnp.int32(it), key)
+        img1, _, _ = full(flat, cam, img1, jnp.int32(it), key)
     seq = np.asarray(img1)
 
     # same RNG streams per iteration index → statistically identical sums;

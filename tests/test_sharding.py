@@ -49,7 +49,7 @@ class TestPixelSharding:
         local = jax.jit(make_render_iteration(static, opts, 64, 64, local_rows=8))
         for d in (0, 3, 7):
             img1 = jnp.zeros((512, 3), jnp.float32)
-            img1, _ = local(flat, cam, img1, jnp.int32(1), key, jnp.int32(d * 512))
+            img1, _, _ = local(flat, cam, img1, jnp.int32(1), key, jnp.int32(d * 512))
             np.testing.assert_array_equal(
                 sharded[d * 8 : (d + 1) * 8], np.asarray(img1).reshape(8, 64, 3)
             )
@@ -117,7 +117,7 @@ class TestPixelSharding:
         iters = 32
         for it in range(1, iters + 1):
             img, _ = step(flat, cam, img, jnp.int32(it), key)
-            img1, _ = full(flat, cam, img1, jnp.int32(it), key)
+            img1, _, _ = full(flat, cam, img1, jnp.int32(it), key)
         a = sh.fetch_image(img, 64, 64) / iters
         b = np.asarray(img1).reshape(64, 64, 3) / iters
         # identical RNG streams; residual differences only from
