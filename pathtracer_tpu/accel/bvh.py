@@ -67,12 +67,16 @@ def build_bvh(
     use_sah: bool = True,
     mtbvh: bool = True,
     use_native: bool = True,
+    max_prim: int = MAX_PRIM,
+    bucket_num: int = BUCKET_NUM,
 ) -> FlatBVH:
     """Build from (T, 3, 3) world-space triangle vertices.
 
     `use_native` tries the C++ builder (accel/native, ~100x the numpy
     builder on large meshes — the reference's build is C++ too,
     reference: src/BVH.cpp); falls back to numpy when no toolchain exists.
+    `max_prim`/`bucket_num` mirror the reference's compile-time knobs
+    (reference: src/BVH.h:5-6).
     """
     T = tri_verts.shape[0]
     if T == 0:
@@ -89,7 +93,7 @@ def build_bvh(
         try:
             from pathtracer_tpu.accel.native import build_sah_native
 
-            res = build_sah_native(bmin_tri, bmax_tri, centroids, MAX_PRIM, BUCKET_NUM)
+            res = build_sah_native(bmin_tri, bmax_tri, centroids, max_prim, bucket_num)
         except Exception:
             res = None
         if res is not None:
@@ -131,7 +135,7 @@ def build_bvh(
             else:
                 nodes_right[parent] = me
 
-        if end - start <= max(MAX_PRIM, 1):
+        if end - start <= max(max_prim, 1):
             continue
 
         cent = centroids[idx]
@@ -149,19 +153,19 @@ def build_bvh(
         mid = -1
         if use_sah and diag[axis] > 0:
             offs = np.clip((cent[:, axis] - cmin[axis]) / diag[axis], 0.0, 1.0)
-            bidx = np.where(offs == 1.0, BUCKET_NUM - 1, (offs * BUCKET_NUM).astype(np.int64))
-            bidx = np.minimum(bidx, BUCKET_NUM - 1)
+            bidx = np.where(offs == 1.0, bucket_num - 1, (offs * bucket_num).astype(np.int64))
+            bidx = np.minimum(bidx, bucket_num - 1)
 
-            counts = np.bincount(bidx, minlength=BUCKET_NUM)
+            counts = np.bincount(bidx, minlength=bucket_num)
             # per-bucket bounds
-            bk_min = np.full((BUCKET_NUM, 3), np.inf)
-            bk_max = np.full((BUCKET_NUM, 3), -np.inf)
+            bk_min = np.full((bucket_num, 3), np.inf)
+            bk_max = np.full((bucket_num, 3), -np.inf)
             np.minimum.at(bk_min, bidx, bmin_tri[idx])
             np.maximum.at(bk_max, bidx, bmax_tri[idx])
 
             best_loss = np.inf
             best_bucket = -1
-            for i in range(BUCKET_NUM - 1):
+            for i in range(bucket_num - 1):
                 nl = counts[: i + 1].sum()
                 nr = counts[i + 1 :].sum()
                 if nl == 0 or nr == 0:
@@ -278,6 +282,172 @@ def _thread_links(left: np.ndarray, right: np.ndarray, parent: np.ndarray):
         else:
             miss[i] = miss[p]
     return hit, miss
+
+
+WIDE_W = 8  # branching factor of the collapsed tree (one pop tests 8 AABBs)
+
+
+@dataclass
+class WideBVH:
+    """8-ary collapse of the binary SAH tree for the Pallas packet kernels.
+
+    Node pops are the SERIAL unit of TPU packet traversal (one
+    `lax.while_loop` lap per pop); collapsing the binary tree to 8-ary
+    cuts pop count ~7x while the extra AABB tests ride the already-paid
+    vector lanes.  Children are either internal (link >= 0) or LEAF CUTS:
+    contiguous triangle ranges of <= leaf_k (the SAME reference triangle
+    ordering — physics identical to the MAX_PRIM=1 tree, reference:
+    src/BVH.cpp:13-92).  Empty slots carry NaN AABBs so the packet slab
+    test rejects them without branches (inverted ±inf boxes would PASS it:
+    the per-axis min/max swap turns them into infinite slabs).
+    """
+
+    child_bmin: np.ndarray   # (M, 8, 3) float32; NaN rows = empty slot
+    child_bmax: np.ndarray   # (M, 8, 3) float32; NaN rows = empty slot
+    child_link: np.ndarray   # (M, 8) int32: >=0 wide-node id, -1 leaf/empty
+    child_start: np.ndarray  # (M, 8) int32 (leaf triangle range; 0,0 = empty)
+    child_end: np.ndarray    # (M, 8) int32
+    perm: np.ndarray         # (M, 8) int32 — per-direction-octant near→far
+    # child visit order, 3 bits per rank (octant bit k = d[k] > 0)
+    num_nodes: int
+    max_depth: int           # root = 0; stack holds <= max_depth+1 nodes
+    leaf_k: int
+
+
+def collapse_wide(bvh: FlatBVH, leaf_k: int, width: int = WIDE_W) -> WideBVH:
+    """Collapse the binary tree: repeatedly expand the largest-surface-area
+    internal candidate until `width` children, cutting subtrees that span
+    <= leaf_k triangles into leaf children."""
+    n = bvh.num_nodes
+    if n == 0:
+        return WideBVH(
+            np.full((1, width, 3), np.nan, np.float32),
+            np.full((1, width, 3), np.nan, np.float32),
+            np.full((1, width), -1, np.int32),
+            np.zeros((1, width), np.int32),
+            np.zeros((1, width), np.int32),
+            np.zeros((1, width), np.int32),
+            1, 0, leaf_k,
+        )
+    bmin = bvh.bbox_min[:n]
+    bmax = bvh.bbox_max[:n]
+    start, end = bvh.start[:n], bvh.end[:n]
+    left, right = bvh.left, bvh.right
+    span = end - start
+    ext = np.maximum(bmax - bmin, 0.0)
+    sa = 2.0 * (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0])
+
+    def gather_children(bid: int) -> list[int]:
+        cand = [int(left[bid]), int(right[bid])]
+        while len(cand) < width:
+            exp = [c for c in cand if span[c] > leaf_k]
+            if not exp:
+                break
+            best = max(exp, key=lambda c: sa[c])
+            i = cand.index(best)
+            cand[i : i + 1] = [int(left[best]), int(right[best])]
+        return cand
+
+    rows: list[list[int]] = []       # wide node -> binary child ids
+    depth_of: list[int] = []
+    wide_of: dict[int, int] = {}
+
+    if span[0] <= leaf_k:
+        # whole tree fits one leaf: a single wide node with one leaf child
+        rows.append([0])
+        depth_of.append(0)
+    else:
+        wide_of[0] = 0
+        rows.append(gather_children(0))
+        depth_of.append(0)
+        qi = 0
+        while qi < len(rows):
+            for c in rows[qi]:
+                if span[c] > leaf_k and c not in wide_of:
+                    wide_of[c] = len(rows)
+                    rows.append(gather_children(c))
+                    depth_of.append(depth_of[qi] + 1)
+            qi += 1
+
+    m = len(rows)
+    cb_min = np.full((m, width, 3), np.nan, np.float32)
+    cb_max = np.full((m, width, 3), np.nan, np.float32)
+    clink = np.full((m, width), -1, np.int32)
+    cstart = np.zeros((m, width), np.int32)
+    cend = np.zeros((m, width), np.int32)
+    for w, row in enumerate(rows):
+        for j, c in enumerate(row):
+            cb_min[w, j] = bmin[c]
+            cb_max[w, j] = bmax[c]
+            if span[c] > leaf_k:
+                clink[w, j] = wide_of[c]
+            else:
+                cstart[w, j] = start[c]
+                cend[w, j] = end[c]
+
+    # per-octant near→far visit order by signed centroid (the wide analogue
+    # of the MTBVH's near-child-first hit links, reference: src/BVH.cpp:180-239)
+    cent = (cb_min + cb_max) * 0.5  # (m, 8, 3); empty slots are NaN
+    empty = (clink < 0) & (cstart >= cend)
+    perm = np.zeros((m, width), np.int32)
+    for o in range(8):
+        s = np.array(
+            [1.0 if o & 1 else -1.0, 1.0 if o & 2 else -1.0, 1.0 if o & 4 else -1.0],
+            np.float32,
+        )
+        key = (cent * s).sum(axis=2)
+        key = np.where(empty, np.inf, key)
+        order = np.argsort(key, axis=1, kind="stable").astype(np.int64)  # (m, 8)
+        packed = np.zeros(m, np.int64)
+        for rank in range(width):
+            packed |= order[:, rank] << (3 * rank)
+        perm[:, o] = packed.astype(np.int32)
+
+    return WideBVH(
+        cb_min, cb_max, clink, cstart, cend, perm,
+        m, int(max(depth_of) if depth_of else 0), leaf_k,
+    )
+
+
+def validate_wide_bvh(w: WideBVH, num_tris: int) -> list[str]:
+    """Invariants: leaf ranges partition [0, T); links form a tree; every
+    child is leaf xor internal xor empty; perms are permutations."""
+    errors = []
+    covered = []
+    seen_link = set()
+    for i in range(w.num_nodes):
+        for j in range(WIDE_W):
+            link = int(w.child_link[i, j])
+            s, e = int(w.child_start[i, j]), int(w.child_end[i, j])
+            if link >= 0:
+                if s or e:
+                    errors.append(f"node {i} child {j}: internal with range")
+                if link in seen_link or link == 0:
+                    errors.append(f"node {i} child {j}: duplicate link {link}")
+                seen_link.add(link)
+                if not (0 < link < w.num_nodes):
+                    errors.append(f"node {i} child {j}: link {link} OOB")
+            elif e > s:
+                if e - s > w.leaf_k:
+                    errors.append(f"node {i} child {j}: leaf span {e - s} > K")
+                covered.append((s, e))
+        for o in range(8):
+            p = int(w.perm[i, o])
+            ranks = {(p >> (3 * r)) & 7 for r in range(WIDE_W)}
+            if len(ranks) != WIDE_W:
+                errors.append(f"node {i} octant {o}: perm not a permutation")
+    if num_tris and len(seen_link) != w.num_nodes - 1:
+        errors.append(f"links reach {len(seen_link)} != {w.num_nodes - 1} nodes")
+    covered.sort()
+    pos = 0
+    for s, e in covered:
+        if s != pos:
+            errors.append(f"leaf ranges not a partition at {s}")
+            break
+        pos = e
+    if num_tris and pos != num_tris:
+        errors.append(f"leaves cover {pos} != {num_tris}")
+    return errors
 
 
 def validate_bvh(bvh: FlatBVH, tri_verts_ordered: np.ndarray) -> list[str]:

@@ -34,6 +34,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--no-tonemap", action="store_true", help="skip ACES+gamma on save")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--devices", type=int, default=None,
+        help="shard pixel rows over N devices (jax.sharding.Mesh); the "
+        "position-keyed RNG keeps the image bit-identical to 1 device",
+    )
 
 
 def _parse_mode(s: str):
@@ -75,6 +80,7 @@ def cmd_render(args) -> int:
         opts=opts,
         resolution=_parse_res(args.res),
         trace_depth=args.depth,
+        devices=args.devices,
     )
     r.set_seed(args.seed)
     if args.resume and Path(args.resume).exists():
@@ -140,7 +146,8 @@ def cmd_bench(args) -> int:
 
     opts = RenderOptions(sample_mode=_parse_mode(args.mode))
     r = Renderer(
-        args.scene, opts=opts, resolution=_parse_res(args.res), trace_depth=args.depth
+        args.scene, opts=opts, resolution=_parse_res(args.res),
+        trace_depth=args.depth, devices=args.devices,
     )
     warm = r.step(1)  # compile + warmup
     r.stats.wall_seconds = 0.0

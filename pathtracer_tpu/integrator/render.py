@@ -69,7 +69,11 @@ class Renderer:
         opts: RenderOptions | None = None,
         resolution: tuple[int, int] | None = None,
         trace_depth: int | None = None,
+        devices: int | None = None,
     ):
+        """`devices > 1` renders pixel-row-sharded over a `jax.sharding.Mesh`
+        of that many devices (parallel/sharding.py); the position-keyed RNG
+        makes the result bit-identical to a single-device render."""
         jaxcache.enable()
         if not isinstance(scene, SceneData):
             scene = load_scene(scene)
@@ -79,7 +83,7 @@ class Renderer:
             scene.camera.resolution = resolution
         if trace_depth is not None:
             scene.trace_depth = trace_depth
-        self.flat, self.static = build_flat_scene(scene)
+        self.flat, self.static = build_flat_scene(scene, opts=self.opts)
         self.width, self.height = scene.camera.resolution
         self.camera: RenderCamera = derive_camera(scene.camera)
         # Pallas packet kernels need a real TPU (no CPU lowering) and
@@ -92,31 +96,45 @@ class Renderer:
             from dataclasses import replace as _dc_replace
 
             self.opts = _dc_replace(self.opts, pallas_traversal=False)
+        self.devices = int(devices) if devices else 1
         # spatial swizzle: lane l renders pixel pixel_order[l] so traversal
         # packets cover square 32x32 blocks instead of 800x1.3 row strips
-        # (2.3x faster packet traversal); image is unswizzled at readout
+        # (2.3x faster packet traversal); image is unswizzled at readout.
+        # The sharded pool is row-partitioned instead, so swizzle is off.
         self.pixel_order = None
         pixel_xy = None
-        if self.opts.swizzle and self.static.num_tris > 0:
+        if self.devices == 1 and self.opts.swizzle and self.static.num_tris > 0:
             self.pixel_order = swizzle_map(self.width, self.height)
             xs = jnp.asarray((self.pixel_order % self.width).astype(np.float32))
             ys = jnp.asarray((self.pixel_order // self.width).astype(np.float32))
             pixel_xy = (xs, ys)
-        builder = make_render_iteration(
-            self.static, self.opts, self.width, self.height, pixel_xy=pixel_xy
-        )
-        # Triangle scenes on the XLA traversal run STAGED (host loop over
-        # jitted bounce stages): the fused variant nests the BVH-traversal
-        # while_loop inside the bounce while_loop, which the TPU toolchain
-        # compiles pathologically slowly.  With the Pallas packet kernels
-        # (opaque custom calls) or no triangles at all, the fused
-        # single-dispatch path works and avoids per-bounce host round trips.
-        self.staged = self.static.num_tris > 0 and not self.opts.pallas_traversal
-        if self.staged:
-            self._start_fn = jax.jit(builder.start_state)
-            self._bounce_fn = jax.jit(builder.bounce_step)
+        if self.devices > 1:
+            from pathtracer_tpu.parallel import sharding as sh
+
+            self._sh = sh
+            self.mesh = sh.make_mesh(self.devices)
+            self._sharded_step, self._img_sharding, self._padded_h = (
+                sh.make_sharded_iteration(
+                    self.static, self.opts, self.width, self.height, self.mesh
+                )
+            )
+            self.staged = False
         else:
-            self._iter_fn = jax.jit(builder)
+            builder = make_render_iteration(
+                self.static, self.opts, self.width, self.height, pixel_xy=pixel_xy
+            )
+            # Triangle scenes on the XLA traversal run STAGED (host loop over
+            # jitted bounce stages): the fused variant nests the BVH-traversal
+            # while_loop inside the bounce while_loop, which the TPU toolchain
+            # compiles pathologically slowly.  With the Pallas packet kernels
+            # (opaque custom calls) or no triangles at all, the fused
+            # single-dispatch path works and avoids per-bounce host round trips.
+            self.staged = self.static.num_tris > 0 and not self.opts.pallas_traversal
+            if self.staged:
+                self._start_fn = jax.jit(builder.start_state)
+                self._bounce_fn = jax.jit(builder.bounce_step)
+            else:
+                self._iter_fn = jax.jit(builder)
         self.seed = 0
         self.key = rng.base_key(0)
         self.traced_depth = 0  # live depth reached last iteration
@@ -140,6 +158,8 @@ class Renderer:
     def _run_iteration(self, cam, iteration):
         """One progressive sample per pixel; returns (img, rays, depth)."""
         it = jnp.int32(iteration)
+        if self.devices > 1:
+            return self._sharded_step(self.flat, cam, self.img, it, self.key)
         if not self.staged:
             return self._iter_fn(self.flat, cam, self.img, it, self.key)
         state = self._start_fn(self.flat, cam, self.img, it, self.key)
@@ -155,8 +175,11 @@ class Renderer:
     def reset(self):
         """Restart accumulation (the reference's camchanged path,
         reference: src/main.cpp:173-201)."""
-        n = self.width * self.height
-        self.img = jnp.zeros((n, 3), jnp.float32)
+        if self.devices > 1:
+            self.img = self._sh.zeros_image(self.width, self.height, self.mesh)
+        else:
+            n = self.width * self.height
+            self.img = jnp.zeros((n, 3), jnp.float32)
         self.iteration = 0
 
     def set_orbit(self, theta: float, phi: float):
@@ -254,6 +277,10 @@ class Renderer:
 
     # -- output -------------------------------------------------------------
     def _unswizzle(self, img_lane: np.ndarray) -> np.ndarray:
+        if self.devices > 1:
+            # row-sharded pool: lanes are already pixel-ordered; drop the
+            # mesh-divisibility padding rows
+            return img_lane[: self.width * self.height]
         if self.pixel_order is None:
             return img_lane
         out = np.empty_like(img_lane)
@@ -304,6 +331,8 @@ class Renderer:
                     # the accumulator is LANE-ordered; loading under a
                     # different pixel mapping would scramble the image
                     "swizzled": self.pixel_order is not None,
+                    # sharded accumulators carry mesh-padding rows
+                    "devices": self.devices,
                 }
             ),
         )
@@ -330,7 +359,15 @@ class Renderer:
                 f"checkpoint RNG-seed mismatch (saved seed {meta['seed']}, "
                 f"current {self.seed})"
             )
-        self.img = jnp.asarray(data["img"])
+        if int(meta.get("devices", 1)) != self.devices:
+            raise ValueError(
+                f"checkpoint device-count mismatch (saved {meta.get('devices', 1)}, "
+                f"current {self.devices}) — the lane padding differs"
+            )
+        if self.devices > 1:
+            self.img = jax.device_put(jnp.asarray(data["img"]), self._img_sharding)
+        else:
+            self.img = jnp.asarray(data["img"])
         self.iteration = int(data["iteration"])
         self.camera = derive_camera(
             self.scene.camera, theta=float(data["theta"]), phi=float(data["phi"])

@@ -147,7 +147,9 @@ def make_render_iteration(
     n = width * (local_rows if local_rows is not None else height)
     mode = opts.sample_mode
     trace_depth = static.trace_depth
-    use_pallas = bool(opts.pallas_traversal) and static.num_tris > 0
+    use_bvh = bool(opts.use_bvh)
+    use_pallas = bool(opts.pallas_traversal) and static.num_tris > 0 and use_bvh
+    show_normal = bool(opts.show_normal)
     # per-bounce ray sorting (the TPU analogue of the reference's stream
     # compaction, reference: src/pathtrace.cu:614-631): rays reorder by
     # (alive, direction octant, origin cell) so traversal packets stay
@@ -193,12 +195,31 @@ def make_render_iteration(
         pixel_idx = pixel0 + state.lane
         contrib = jnp.zeros((n, 3), jnp.float32)
         hit = closest_hit(
-            flat, static, state.o, state.d, use_pallas=use_pallas, alive=alive
+            flat, static, state.o, state.d, use_pallas=use_pallas, alive=alive,
+            use_bvh=use_bvh,
         )
         rays_traced = state.rays_traced + jnp.sum(alive.astype(jnp.int32))
 
         miss = hit.geom < 0
         img = state.img
+
+        if show_normal:
+            # SHOW_NORMAL debug view: every ray terminates at its first
+            # intersection contributing normalize(normal) + 1 (the raw
+            # geometric/interpolated normal, before normal mapping)
+            # (reference: src/pathtrace.cu:298-301, src/utilities.h:27)
+            viz = m.process_nan(m.normalize(hit.normal) + 1.0)
+            contrib = jnp.where((alive & ~miss)[..., None], viz, 0.0)
+            if sort_rays:
+                img = img.at[state.lane].add(contrib)
+            else:
+                img = img + contrib
+            return state._replace(
+                depth=depth + 1,
+                alive=jnp.zeros_like(alive),
+                img=img,
+                rays_traced=rays_traced,
+            )
         if static.env_map_id >= 0:
             uv = m.sphere_to_plane(state.d)
             env = bilinear_sample_u32(
@@ -239,7 +260,7 @@ def make_render_iteration(
         if mode == SampleMode.DIRECT_LI:
             # reference: src/pathtrace.cu:348-403 — one NEE bounce, then stop
             li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
-            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee)
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh)
             rays_traced = rays_traced + jnp.sum((alive & ~is_light).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             bsdf = bsdf_eval(params, nrm, state.d, wi, present=static.material_types)
@@ -293,7 +314,7 @@ def make_render_iteration(
         # --- NEE term (MIS only, non-delta) ---
         if mode == SampleMode.MIS:
             li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
-            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee)
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh)
             rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             b_pdf = pdf_eval(params, nrm, state.d, wi, present=static.material_types)

@@ -29,7 +29,6 @@ from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
 from pathtracer_tpu.scene.parser import CUBE, SPHERE
 
 FLT_MAX = 3.402823466e38
-MAX_PRIM = 1
 
 
 class Hit(NamedTuple):
@@ -102,6 +101,7 @@ def _bvh_closest(flat: FlatScene, static: SceneStatic, o, d, t_min, tri, u, v):
     """Stackless threaded walk (reference: src/pathtrace.cu:236-279)."""
     N = o.shape[0]
     num_nodes = static.num_bvh_nodes
+    max_prim = max(static.max_prim, 1)
     offset = (
         _mtbvh_offset(static, d)
         if static.num_bvh_trees == 6
@@ -122,17 +122,20 @@ def _bvh_closest(flat: FlatScene, static: SceneStatic, o, d, t_min, tri, u, v):
         ni = flat.bvh_i32[nidx]
         box_hit, t_enter = ray_aabb(nf[:, 0:3], nf[:, 3:6], o, d)
         box_ok = box_hit & (t_enter <= t_min)
-        is_leaf = (ni[:, 1] - ni[:, 0]) <= MAX_PRIM
+        is_leaf = (ni[:, 1] - ni[:, 0]) <= max_prim
 
-        tidx = jnp.clip(ni[:, 0], 0, flat.tri_data.shape[0] - 1)
-        trow = flat.tri_data[tidx]
-        th, tt, tu, tv = ray_triangle(trow[:, 0:3], trow[:, 3:6], trow[:, 6:9], o, d)
-        take = active & box_ok & is_leaf & th & (tt < t_min)
+        # static unroll over the leaf span (reference: src/pathtrace.cu:256)
+        for k in range(max_prim):
+            tidx = jnp.clip(ni[:, 0] + k, 0, flat.tri_data.shape[0] - 1)
+            trow = flat.tri_data[tidx]
+            th, tt, tu, tv = ray_triangle(trow[:, 0:3], trow[:, 3:6], trow[:, 6:9], o, d)
+            in_leaf = ni[:, 0] + k < ni[:, 1]
+            take = active & box_ok & is_leaf & in_leaf & th & (tt < t_min)
 
-        t_min = jnp.where(take, tt, t_min)
-        tri = jnp.where(take, tidx, tri)
-        u = jnp.where(take, tu, u)
-        v = jnp.where(take, tv, v)
+            t_min = jnp.where(take, tt, t_min)
+            tri = jnp.where(take, tidx, tri)
+            u = jnp.where(take, tu, u)
+            v = jnp.where(take, tv, v)
 
         nxt = jnp.where(box_ok, ni[:, 2], ni[:, 3])  # hit else miss link
         node = jnp.where(active, nxt, -1)
@@ -144,31 +147,62 @@ def _bvh_closest(flat: FlatScene, static: SceneStatic, o, d, t_min, tri, u, v):
     return t_min, tri, u, v
 
 
-def _packet_tables_fit(flat: FlatScene, static: SceneStatic) -> bool:
-    """Packet kernels keep node scalars in SMEM (~1 MB) and triangles in
-    VMEM, and walk with a fixed-depth SMEM stack; scenes beyond those
-    budgets (or with an SAH tree skewed deeper than the stack) fall back
-    to the XLA walk."""
-    from pathtracer_tpu.ops.traverse_pallas import STACK_DEPTH
+def _brute_closest(flat: FlatScene, o, d, t_min, tri, u, v):
+    """No-BVH triangle sweep (the reference's USE_BVH=0 branch,
+    reference: src/pathtrace.cu:281-296): every ray tests every triangle
+    via a `lax.fori_loop` — a debug/parity mode, not a fast path."""
 
-    nn = flat.bvh_pk.shape[0]
-    nt = flat.tri_pk.shape[0]
-    return (
-        nn * 40 <= 800_000
-        and nt * 48 <= 8_000_000
-        and static.packet_depth + 2 <= STACK_DEPTH
+    def body(i, state):
+        t_min, tri, u, v = state
+        trow = flat.tri_data[i]
+        th, tt, tu, tv = ray_triangle(
+            trow[None, 0:3], trow[None, 3:6], trow[None, 6:9], o, d
+        )
+        take = th & (tt < t_min)
+        return (
+            jnp.where(take, tt, t_min),
+            jnp.where(take, i, tri),
+            jnp.where(take, tu, u),
+            jnp.where(take, tv, v),
+        )
+
+    return jax.lax.fori_loop(
+        0, flat.tri_data.shape[0], body, (t_min, tri, u, v)
     )
+
+
+def _packet_tables_fit(flat: FlatScene, static: SceneStatic) -> bool:
+    """Packet kernels keep the wide-node scalars + stack + leaf queue in
+    SMEM (~1 MB budget) and triangles in VMEM; scenes beyond those budgets
+    fall back to the XLA walk.  (The traversal stack and leaf queue are
+    sized to the node count — every node enters each at most once — so
+    there is no depth cliff.)"""
+    nt = flat.tri_pk.shape[0]
+    m = static.wide_nodes
+    smem_bytes = (
+        flat.bvh_wf.shape[0] + flat.bvh_wi.shape[0] + flat.bvh_wp.shape[0]
+        + 9 * m + 64
+    ) * 4
+    return smem_bytes <= 900_000 and nt * 48 <= 8_000_000
+
+
+DEAD_T = jnp.float32(-FLT_MAX)
+# dead/unreachable lanes carry this t sentinel: node visits activate on
+# `t_enter <= t`, and a small negative sentinel (round 1 used -1.0) still
+# passes for origins >1 unit inside the scene box on every axis — dead
+# packets then walk the ENTIRE tree.  -FLT_MAX is below any finite t_enter.
 
 
 def closest_hit(
     flat: FlatScene, static: SceneStatic, o, d, use_pallas: bool = False,
-    alive=None,
+    alive=None, use_bvh: bool = True,
 ) -> Hit:
     """Full-scene closest hit (geoms + triangles).
 
     `use_pallas` switches the triangle part to the packet-traversal kernel
     (ops/traverse_pallas.py) — the TPU fast path; the XLA lockstep walk is
-    the portable fallback.
+    the portable fallback.  `use_bvh=False` is the reference's USE_BVH=0
+    brute-force triangle sweep (reference: src/utilities.h:22).
     """
     N = o.shape[0]
     t_min, geom, point, normal = _geoms_closest(flat, static, o, d)
@@ -179,22 +213,30 @@ def closest_hit(
     tangent = jnp.zeros((N, 3), jnp.float32)
     bitangent = jnp.zeros((N, 3), jnp.float32)
 
+    if not use_bvh:
+        use_pallas = False
     if static.num_tris > 0 and use_pallas:
         use_pallas = _packet_tables_fit(flat, static)
-    if static.num_tris > 0 and use_pallas:
-        from pathtracer_tpu.ops.traverse_pallas import closest_hit_bvh_pallas
+    if static.num_tris > 0 and not use_bvh:
+        t_min, tri, u, v = _brute_closest(flat, o, d, t_min, tri, u, v)
+    elif static.num_tris > 0 and use_pallas:
+        from pathtracer_tpu.ops.traverse_pallas import closest_hit_wbvh_pallas
 
-        # dead lanes get t_init < 0 so whole-dead packets exit at the root;
-        # likewise rays that cannot reach the (triangle) root box within
-        # their current t budget — a cheap XLA pre-test that lets entire
-        # packets of away-facing rays skip the kernel's stack walk
-        t_init = t_min if alive is None else jnp.where(alive, t_min, -1.0)
-        root = flat.bvh_pk[0]
-        rb_hit, rb_enter = ray_aabb(root[0:3], root[3:6], o, d)
+        # dead lanes get the DEAD_T sentinel so whole-dead packets exit at
+        # the root; likewise rays that cannot reach the (triangle) root box
+        # within their current t budget — a cheap XLA pre-test on the
+        # STATIC root bounds that lets entire packets of away-facing rays
+        # skip the kernel's stack walk
+        t_init = t_min if alive is None else jnp.where(alive, t_min, DEAD_T)
+        rb = static.tri_root_box  # static → folds to constants
+        rb_hit, rb_enter = ray_aabb(
+            jnp.array(rb[0:3], jnp.float32), jnp.array(rb[3:6], jnp.float32), o, d
+        )
         reachable = rb_hit & (rb_enter <= t_init)
-        t_init = jnp.where(reachable, t_init, -1.0)
-        t_pk, tri_pk, u_pk, v_pk = closest_hit_bvh_pallas(
-            flat.bvh_pk, flat.tri_pk, o, d, t_init
+        t_init = jnp.where(reachable, t_init, DEAD_T)
+        t_pk, tri_pk, u_pk, v_pk = closest_hit_wbvh_pallas(
+            flat.bvh_wf, flat.bvh_wi, flat.bvh_wp, flat.tri_pk, o, d, t_init,
+            leaf_k=static.wide_leaf_k,
         )
         t_min = jnp.where(tri_pk >= 0, t_pk, t_min)
         tri, u, v = tri_pk, u_pk, v_pk
@@ -224,7 +266,7 @@ def closest_hit(
 
 def occlusion_test(
     flat: FlatScene, static: SceneStatic, ori, dir, des, enabled=None,
-    use_pallas: bool = False,
+    use_pallas: bool = False, use_bvh: bool = True,
 ):
     """Shadow query: is the segment ori→des blocked?
 
@@ -248,18 +290,46 @@ def occlusion_test(
         blocked = valid & (t > 0.0) & (min_t - 1e-5 > t) & (jnp.abs(t - min_t) > 1e-2)
         occluded = occluded | blocked
 
+    if not use_bvh:
+        use_pallas = False
     if static.num_tris > 0 and use_pallas:
         use_pallas = _packet_tables_fit(flat, static)
-    if static.num_tris > 0 and use_pallas:
-        from pathtracer_tpu.ops.traverse_pallas import occlusion_bvh_pallas
+    if static.num_tris > 0 and not use_bvh:
+        # USE_BVH=0 shadow sweep.  The reference's no-BVH occlusion branch
+        # `return false`s on the first hit (reference: src/lightSample.h:125-135)
+        # — an inverted-result dead-code bug; we keep the BVH branch's
+        # blocked semantics and window instead of replicating it.
+        enabled_mask = (
+            jnp.ones((N,), bool) if enabled is None else enabled
+        ) & ~occluded
 
-        min_t_eff = min_t if enabled is None else jnp.where(enabled, min_t, -1.0)
-        root = flat.bvh_pk[0]
-        rb_hit, rb_enter = ray_aabb(root[0:3], root[3:6], ori, dir)
+        def brute_body(i, occluded):
+            trow = flat.tri_data[i]
+            th, tt, _, _ = ray_triangle(
+                trow[None, 0:3], trow[None, 3:6], trow[None, 6:9], ori, dir
+            )
+            blocked = (
+                enabled_mask & th & (min_t - 1e-5 > tt)
+                & (jnp.abs(tt - min_t) > 1e-4)
+            )
+            return occluded | blocked
+
+        return jax.lax.fori_loop(
+            0, flat.tri_data.shape[0], brute_body, occluded
+        )
+    if static.num_tris > 0 and use_pallas:
+        from pathtracer_tpu.ops.traverse_pallas import occlusion_wbvh_pallas
+
+        min_t_eff = min_t if enabled is None else jnp.where(enabled, min_t, DEAD_T)
+        rb = static.tri_root_box
+        rb_hit, rb_enter = ray_aabb(
+            jnp.array(rb[0:3], jnp.float32), jnp.array(rb[3:6], jnp.float32), ori, dir
+        )
         reachable = rb_hit & (rb_enter <= min_t_eff)
-        min_t_eff = jnp.where(reachable, min_t_eff, -1.0)
-        occluded = occlusion_bvh_pallas(
-            flat.bvh_pk, flat.tri_pk, ori, dir, min_t_eff, occluded
+        min_t_eff = jnp.where(reachable, min_t_eff, DEAD_T)
+        occluded = occlusion_wbvh_pallas(
+            flat.bvh_wf, flat.bvh_wi, flat.tri_pk, ori, dir, min_t_eff, occluded,
+            leaf_k=static.wide_leaf_k,
         )
         return occluded
 
@@ -279,6 +349,8 @@ def occlusion_test(
             step, node, _ = state
             return jnp.any(node != -1) & (step < max_steps)
 
+        max_prim = max(static.max_prim, 1)
+
         def body2(state):
             step, node, occluded = state
             active = node != -1
@@ -287,21 +359,24 @@ def occlusion_test(
             ni = flat.bvh_i32[nidx]
             box_hit, t_enter = ray_aabb(nf[:, 0:3], nf[:, 3:6], ori, dir)
             box_ok = box_hit & (t_enter <= min_t)
-            is_leaf = (ni[:, 1] - ni[:, 0]) <= MAX_PRIM
+            is_leaf = (ni[:, 1] - ni[:, 0]) <= max_prim
 
-            tidx = jnp.clip(ni[:, 0], 0, flat.tri_data.shape[0] - 1)
-            trow = flat.tri_data[tidx]
-            th, tt, _, _ = ray_triangle(
-                trow[:, 0:3], trow[:, 3:6], trow[:, 6:9], ori, dir
-            )
-            blocked = (
-                active
-                & box_ok
-                & is_leaf
-                & th
-                & (min_t - 1e-5 > tt)
-                & (jnp.abs(tt - min_t) > 1e-4)
-            )
+            blocked = jnp.zeros_like(occluded)
+            for k in range(max_prim):
+                tidx = jnp.clip(ni[:, 0] + k, 0, flat.tri_data.shape[0] - 1)
+                trow = flat.tri_data[tidx]
+                th, tt, _, _ = ray_triangle(
+                    trow[:, 0:3], trow[:, 3:6], trow[:, 6:9], ori, dir
+                )
+                blocked = blocked | (
+                    active
+                    & box_ok
+                    & is_leaf
+                    & (ni[:, 0] + k < ni[:, 1])
+                    & th
+                    & (min_t - 1e-5 > tt)
+                    & (jnp.abs(tt - min_t) > 1e-4)
+                )
             occluded = occluded | blocked
 
             nxt = jnp.where(box_ok, ni[:, 2], ni[:, 3])

@@ -1,28 +1,30 @@
-"""Pallas TPU packet-traversal kernels for the BVH.
+"""Pallas TPU wide-packet-traversal kernels for the BVH.
 
 The XLA traversal (ops/traverse.py) advances EVERY ray one node per
 `lax.while_loop` step: the whole pool pays max-traversal-length steps, and
-each step is a full-pool row gather.  This kernel replaces it with classic
-**packet traversal** shaped for the TPU VPU:
+each step is a full-pool row gather.  These kernels replace it with
+**wide packet traversal** shaped for the TPU VPU:
 
 - the ray pool is tiled into (16, 128) packets (one grid step per packet);
-- each packet walks the tree with a SHARED scalar stack in SMEM — a node
-  is visited iff ANY ray in the packet wants it, so finished/incoherent
-  packets exit early instead of idling in lockstep with the whole pool;
-- node/triangle tables live wholly in VMEM (bunny10k: ~2.2 MB), so a node
-  visit is a scalar-indexed row read plus ~30 VPU ops on the packet —
+- each packet walks an 8-ARY collapse of the SAH tree (accel/bvh.py
+  collapse_wide) with a SHARED scalar stack in SMEM — a node is visited
+  iff ANY ray in the packet wants it, so finished/incoherent packets exit
+  early instead of idling in lockstep with the whole pool;
+- one pop tests all 8 child AABBs: pops are the SERIAL unit (scalar-unit
+  + reduction bound), so the 8-ary shape cuts the serial lap count ~7x
+  vs a binary walk while the extra AABB math rides the vector lanes;
+- node scalars live in SMEM, triangles in VMEM (one DMA on grid step 0);
+  a node visit is ~70 scalar loads plus ~8x25 VPU ops on the packet —
   no HBM gathers at all;
-- leaves hold exactly 1 triangle (builder MAX_PRIM=1), so the leaf case is
-  a single Möller–Trumbore on the packet.
-
-The traversal uses the plain (single-tree) BVH with explicit child links
-(start, end, left, right); front-to-back ordering comes from the t_min
-cutoff rather than the MTBVH's 6 direction-sorted replicas.
+- leaf children are cuts of <= leaf_k triangles of the MAX_PRIM=1
+  reference tree (identical triangle order → identical physics), tested
+  by a statically-unrolled Möller–Trumbore sweep.
 
 Semantics match the reference walk (reference: src/pathtrace.cu:236-279,
-src/lightSample.h:89-136): AABB reject also prunes on t_enter > t_min, and
-the occlusion variant applies the (t < minT-1e-5 && |t-minT| > 1e-4)
-window with early packet exit once every live ray is blocked.
+src/lightSample.h:89-136): AABB reject also prunes on t_enter > t_min
+(front-to-back via per-octant child ordering, the wide analogue of the
+6-way MTBVH), and the occlusion variant applies the
+(t < minT-1e-5 && |t-minT| > 1e-4) window.
 """
 
 from __future__ import annotations
@@ -38,10 +40,6 @@ TILE_ROWS = 16
 TILE_LANES = 128
 TILE = TILE_ROWS * TILE_LANES
 STACK_DEPTH = 96
-LEAF_K = 32  # packet-tree leaves hold up to 32 triangles (pruned cut of the
-# MAX_PRIM=1 reference tree; physics identical, ~60x fewer serial node
-# visits — leaf triangle tests are vectorized lane work, node pops are
-# serial scalar work, so deep pruning trades the right way)
 FLT_MAX = 3.402823466e38
 
 
@@ -110,222 +108,241 @@ def _moller_trumbore(trow, ox, oy, oz, dx, dy, dz):
     return hit, t, u, v
 
 
-def _load_tables(nf_hbm, ni_hbm, tri_hbm, nf_sm, ni_sm, tri_vmem, sems):
-    """Copy the scene tables once, on the first grid step: node scalars to
-    SMEM (scalar-unit loads, no lane extraction), triangles to VMEM.
-
-    Scratch persists across the (sequential) TPU grid, so later packets
-    reuse the resident tables instead of re-fetching per tile.
-    """
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        c0 = pltpu.make_async_copy(nf_hbm, nf_sm, sems.at[0])
-        c1 = pltpu.make_async_copy(ni_hbm, ni_sm, sems.at[1])
-        c2 = pltpu.make_async_copy(tri_hbm, tri_vmem, sems.at[2])
-        c0.start()
-        c1.start()
-        c2.start()
-        c0.wait()
-        c1.wait()
-        c2.wait()
+# ---------------------------------------------------------------------------
+# Wide (8-ary) packet traversal — the round-2 fast path.
+#
+# Node pops are the SERIAL unit (one `lax.while_loop` lap each, dominated by
+# scalar/stack/reduction overhead, not lane math); the 8-ary collapse
+# (accel/bvh.py collapse_wide) cuts pop count ~7x vs the binary tree while
+# the 8 child AABB tests ride the vector lanes that were already paid for.
+# Children are tested AT THE PARENT pop: leaf children run Möller–Trumbore
+# immediately, internal children push onto the SMEM stack in per-octant
+# far→near order (near popped first) so the t_min cutoff prunes like the
+# reference's MTBVH near-child-first hit links (src/BVH.cpp:180-239).
+# ---------------------------------------------------------------------------
 
 
-def _closest_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
-    nf_ref, ni_ref, tri_ref,
-    t_ref, tri_out_ref, u_ref, v_ref,
-    stack_ref,
-):
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    idx = 1.0 / dx
-    idy = 1.0 / dy
-    idz = 1.0 / dz
-
-    t_ref[:] = t0_ref[:]
-    tri_out_ref[:] = jnp.full_like(tri_out_ref[:], -1)
-    u_ref[:] = jnp.zeros_like(u_ref[:])
-    v_ref[:] = jnp.zeros_like(v_ref[:])
-
-    def leaf_test(start, end, active):
-        for k in range(LEAF_K):
-            tid = jnp.minimum(start + k, tri_ref.shape[0] - 1)
-            trow = tri_ref[tid]
-            th, tt, tu, tv = _moller_trumbore(trow, ox, oy, oz, dx, dy, dz)
-            in_leaf = start + k < end
-            take = active & th & (tt < t_ref[:]) & in_leaf
-            t_ref[:] = jnp.where(take, tt, t_ref[:])
-            tri_out_ref[:] = jnp.where(take, tid, tri_out_ref[:])
-            u_ref[:] = jnp.where(take, tu, u_ref[:])
-            v_ref[:] = jnp.where(take, tv, v_ref[:])
-
-    def visit(node):
-        """Test node's AABB; returns (any_active, active, is_leaf, start, end)."""
-        nb = node * 6
-        nf = [nf_ref[nb + k] for k in range(6)]
-        ni = node * 4
-        start = ni_ref[ni]
-        end = ni_ref[ni + 1]
-        left = ni_ref[ni + 2]
-        right = ni_ref[ni + 3]
-        hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
-        active = hit & (t_enter <= t_ref[:])
-        t_near = jnp.min(jnp.where(active, t_enter, jnp.float32(FLT_MAX)))
-        return active, left, right, start, end, t_near
-
-    # root: handle leaf-root directly, else enter the two-child loop
-    r_active, r_left, r_right, r_start, r_end, _ = visit(jnp.int32(0))
-    root_leaf = r_left < 0
-
-    @pl.when(jnp.any(r_active) & root_leaf)
-    def _():
-        leaf_test(r_start, r_end, r_active)
-
-    stack_ref[0] = 0
-
-    def cond(sp):
-        return sp > 0
-
-    def body(sp):
-        # stack holds INTERNAL nodes whose AABB already passed
-        sp1 = sp - 1
-        node = stack_ref[sp1]
-        left = ni_ref[node * 4 + 2]
-        right = ni_ref[node * 4 + 3]
-
-        la, ll, lr, ls, le, lt = visit(left)
-        ra, rl, rr, rs, re, rt = visit(right)
-        l_any = jnp.any(la)
-        r_any = jnp.any(ra)
-        l_leaf = ll < 0
-        r_leaf = rl < 0
-
-        @pl.when(l_any & l_leaf)
-        def _():
-            leaf_test(ls, le, la)
-
-        @pl.when(r_any & r_leaf)
-        def _():
-            leaf_test(rs, re, ra)
-
-        push_l = l_any & ~l_leaf
-        push_r = r_any & ~r_leaf
-        # near child popped first: push the FARTHER passing child deeper
-        l_first = lt <= rt
-        first = jnp.where(l_first, left, right)    # nearer
-        second = jnp.where(l_first, right, left)   # farther
-        push_first = jnp.where(l_first, push_l, push_r)
-        push_second = jnp.where(l_first, push_r, push_l)
-
-        # write farther (popped later) below nearer
-        idx0 = sp1
-        idx1 = sp1 + push_second.astype(jnp.int32)
-
-        @pl.when(push_second)
-        def _():
-            stack_ref[idx0] = second
-
-        @pl.when(push_first)
-        def _():
-            stack_ref[idx1] = first
-
-        return sp1 + push_second.astype(jnp.int32) + push_first.astype(jnp.int32)
-
-    jax.lax.while_loop(
-        cond, body, jnp.where(jnp.any(r_active) & ~root_leaf, jnp.int32(1), jnp.int32(0))
-    )
+def _wide_visit_order(wp_ref, node, octant):
+    """Packed 3-bit-per-rank child permutation for this packet's octant."""
+    return wp_ref[node * 8 + octant]
 
 
-def _occlusion_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, mint_ref, occ0_ref,
-    nf_ref, ni_ref, tri_ref,
-    occ_ref,
-    stack_ref,
-):
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    idx = 1.0 / dx
-    idy = 1.0 / dy
-    idz = 1.0 / dz
-    min_t = mint_ref[:]
+P_NODES = 2   # stack nodes expanded per while-lap
+Q_LEAVES = 2  # queued leaves drained per while-lap
+# Per the TPU microbench (tools/kernel_microbench.py): a while/fori lap has
+# a fixed ~600-1000 ns overhead, every `pl.when` gate costs ~144 ns EVEN
+# WHEN NOT TAKEN, cross-lane `jnp.any` ~23 ns, and all scalar loads +
+# vector math hide under the lap overhead entirely.  So the kernels below
+# are 100% BRANCHLESS inside the lap (unconditional SMEM stores with
+# predicated pointer bumps — a store past the live pointer is never read)
+# and amortize the lap cost over P node pops + Q leaf drains.
 
-    occ_ref[:] = occ0_ref[:]
 
-    def leaf_test(start, end, active):
-        for k in range(LEAF_K):
-            tid = jnp.minimum(start + k, tri_ref.shape[0] - 1)
-            trow = tri_ref[tid]
-            th, tt, _, _ = _moller_trumbore(trow, ox, oy, oz, dx, dy, dz)
-            in_leaf = start + k < end
-            blocked = (
-                active & th & (min_t - 1e-5 > tt)
-                & (jnp.abs(tt - min_t) > 1e-4) & in_leaf
-            )
-            occ_ref[:] = jnp.where(blocked, 1, occ_ref[:])
+def _leaf_queue_capacity(num_wide_nodes: int) -> int:
+    """Every leaf child enqueues at most once per packet, plus headroom for
+    the unconditional store slot past the live pointer."""
+    return num_wide_nodes * 8 + 8 * P_NODES
 
-    def visit(node):
-        nb = node * 6
-        nf = [nf_ref[nb + k] for k in range(6)]
-        ni = node * 4
-        start = ni_ref[ni]
-        end = ni_ref[ni + 1]
-        left = ni_ref[ni + 2]
-        right = ni_ref[ni + 3]
-        hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
-        live = occ_ref[:] == 0
-        active = hit & (t_enter <= min_t) & live
-        return active, left, right, start, end
 
-    r_active, r_left, r_right, r_start, r_end = visit(jnp.int32(0))
-    root_leaf = r_left < 0
+def _make_wide_closest_kernel(leaf_k: int):
+    def kernel(
+        octant,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
+        wf_ref, wi_ref, wp_ref, tri_ref,
+        t_ref, tri_out_ref, u_ref, v_ref,
+        stack_ref, leafq_ref,
+    ):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        idx = 1.0 / dx
+        idy = 1.0 / dy
+        idz = 1.0 / dz
 
-    @pl.when(jnp.any(r_active) & root_leaf)
-    def _():
-        leaf_test(r_start, r_end, r_active)
+        t_ref[:] = t0_ref[:]
+        tri_out_ref[:] = jnp.full_like(tri_out_ref[:], -1)
+        u_ref[:] = jnp.zeros_like(u_ref[:])
+        v_ref[:] = jnp.zeros_like(v_ref[:])
 
-    stack_ref[0] = 0
+        stack_ref[0] = 0
+        nt1 = tri_ref.shape[0] - 1
 
-    def cond(sp):
-        return sp > 0
+        def lap(state):
+            sp, lq = state
+            best_t = t_ref[:]
 
-    def body(sp):
-        sp1 = sp - 1
-        node = stack_ref[sp1]
-        left = ni_ref[node * 4 + 2]
-        right = ni_ref[node * 4 + 3]
+            # --- node phase: expand up to P_NODES stack tops ---
+            new_sp = jnp.maximum(sp - P_NODES, 0)
+            new_lq = lq
+            # read ALL consumed entries BEFORE any push: the branchless
+            # stores below start at new_sp and may overwrite the consumed
+            # range (an invalid slot's store would otherwise clobber a
+            # live entry before it is read)
+            # (clip: an invalid slot may hold a stale leaf link of -1,
+            # which would otherwise index wf_ref out of bounds)
+            m1 = wf_ref.shape[0] // 48 - 1
+            popped = [
+                (
+                    jnp.clip(stack_ref[jnp.maximum(sp - 1 - j, 0)], 0, m1),
+                    sp - 1 - j >= 0,
+                )
+                for j in range(P_NODES)
+            ]
+            # j descending: the stack top (nearest node) is processed LAST
+            # so its children are pushed last → popped first (front-to-back)
+            for j in range(P_NODES - 1, -1, -1):
+                node, node_valid = popped[j]
+                perm = _wide_visit_order(wp_ref, node, octant)
+                base_f = node * 48
+                base_i = node * 24
+                for rank in range(7, -1, -1):  # far→near within the node
+                    slot = (perm >> (3 * rank)) & 7
+                    bf = base_f + slot * 6
+                    nf = [wf_ref[bf + k] for k in range(6)]
+                    link = wi_ref[base_i + slot]
+                    hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
+                    active = hit & (t_enter <= best_t)
+                    any_c = jnp.any(active) & node_valid
+                    is_leaf = link < 0
+                    # branchless: store always, bump the live pointer only
+                    # when the child is genuinely taken
+                    stack_ref[new_sp] = link
+                    new_sp = new_sp + (any_c & ~is_leaf).astype(jnp.int32)
+                    leafq_ref[new_lq] = node * 8 + slot
+                    new_lq = new_lq + (any_c & is_leaf).astype(jnp.int32)
 
-        la, ll, lr, ls, le = visit(left)
-        ra, rl, rr, rs, re = visit(right)
-        l_leaf = ll < 0
-        r_leaf = rl < 0
+            # --- leaf phase: drain up to Q_LEAVES queue tops ---
+            best_tri = tri_out_ref[:]
+            best_u = u_ref[:]
+            best_v = v_ref[:]
+            for q in range(Q_LEAVES):
+                qidx = new_lq - 1 - q
+                leaf_valid = qidx >= 0
+                lslot = leafq_ref[jnp.maximum(qidx, 0)]
+                lnode = lslot >> 3
+                lc = lslot & 7
+                bf = lnode * 48 + lc * 6
+                nf = [wf_ref[bf + k] for k in range(6)]
+                s = wi_ref[lnode * 24 + 8 + lc]
+                e = wi_ref[lnode * 24 + 16 + lc]
+                hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
+                active = hit & (t_enter <= best_t) & leaf_valid
+                for k in range(leaf_k):
+                    tid = jnp.minimum(s + k, nt1)
+                    trow = tri_ref[tid]
+                    th, tt, tu, tv = _moller_trumbore(trow, ox, oy, oz, dx, dy, dz)
+                    take = active & th & (tt < best_t) & (s + k < e)
+                    best_t = jnp.where(take, tt, best_t)
+                    best_tri = jnp.where(take, tid, best_tri)
+                    best_u = jnp.where(take, tu, best_u)
+                    best_v = jnp.where(take, tv, best_v)
+            t_ref[:] = best_t
+            tri_out_ref[:] = best_tri
+            u_ref[:] = best_u
+            v_ref[:] = best_v
 
-        @pl.when(jnp.any(la) & l_leaf)
-        def _():
-            leaf_test(ls, le, la)
+            return new_sp, jnp.maximum(new_lq - Q_LEAVES, 0)
 
-        @pl.when(jnp.any(ra) & r_leaf)
-        def _():
-            leaf_test(rs, re, ra)
+        # whole-dead packets (every t0 at the -FLT_MAX sentinel) never enter
+        alive_any = jnp.any(t0_ref[:] >= 0.0)
+        jax.lax.while_loop(
+            lambda st: (st[0] > 0) | (st[1] > 0),
+            lap,
+            (jnp.where(alive_any, jnp.int32(1), jnp.int32(0)), jnp.int32(0)),
+        )
 
-        push_l = jnp.any(la) & ~l_leaf
-        push_r = jnp.any(ra) & ~r_leaf
-        idx0 = sp1
-        idx1 = sp1 + push_r.astype(jnp.int32)
+    return kernel
 
-        @pl.when(push_r)
-        def _():
-            stack_ref[idx0] = right
 
-        @pl.when(push_l)
-        def _():
-            stack_ref[idx1] = left
+def _make_wide_occlusion_kernel(leaf_k: int):
+    def kernel(
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, mint_ref, occ0_ref,
+        wf_ref, wi_ref, tri_ref,
+        occ_ref,
+        stack_ref, leafq_ref,
+    ):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        idx = 1.0 / dx
+        idy = 1.0 / dy
+        idz = 1.0 / dz
+        min_t = mint_ref[:]
 
-        return sp1 + push_r.astype(jnp.int32) + push_l.astype(jnp.int32)
+        occ_ref[:] = occ0_ref[:]
+        stack_ref[0] = 0
+        nt1 = tri_ref.shape[0] - 1
 
-    jax.lax.while_loop(
-        cond, body, jnp.where(jnp.any(r_active) & ~root_leaf, jnp.int32(1), jnp.int32(0))
-    )
+        def lap(state):
+            sp, lq, _ = state
+            occ = occ_ref[:]
+            live = occ == 0
+            cap = jnp.where(live, min_t, -FLT_MAX)  # blocked lanes idle
+
+            new_sp = jnp.maximum(sp - P_NODES, 0)
+            new_lq = lq
+            m1 = wf_ref.shape[0] // 48 - 1
+            popped = [  # read+clip before any store (see closest kernel)
+                (
+                    jnp.clip(stack_ref[jnp.maximum(sp - 1 - j, 0)], 0, m1),
+                    sp - 1 - j >= 0,
+                )
+                for j in range(P_NODES)
+            ]
+            for j in range(P_NODES - 1, -1, -1):  # any-hit: order-free
+                node, node_valid = popped[j]
+                base_f = node * 48
+                base_i = node * 24
+                for slot in range(8):
+                    bf = base_f + slot * 6
+                    nf = [wf_ref[bf + k] for k in range(6)]
+                    link = wi_ref[base_i + slot]
+                    hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
+                    active = hit & (t_enter <= cap)
+                    any_c = jnp.any(active) & node_valid
+                    is_leaf = link < 0
+                    stack_ref[new_sp] = link
+                    new_sp = new_sp + (any_c & ~is_leaf).astype(jnp.int32)
+                    leafq_ref[new_lq] = node * 8 + slot
+                    new_lq = new_lq + (any_c & is_leaf).astype(jnp.int32)
+
+            for q in range(Q_LEAVES):
+                qidx = new_lq - 1 - q
+                leaf_valid = qidx >= 0
+                lslot = leafq_ref[jnp.maximum(qidx, 0)]
+                lnode = lslot >> 3
+                lc = lslot & 7
+                bf = lnode * 48 + lc * 6
+                nf = [wf_ref[bf + k] for k in range(6)]
+                s = wi_ref[lnode * 24 + 8 + lc]
+                e = wi_ref[lnode * 24 + 16 + lc]
+                hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
+                active = hit & (t_enter <= cap) & leaf_valid
+                for k in range(leaf_k):
+                    tid = jnp.minimum(s + k, nt1)
+                    trow = tri_ref[tid]
+                    th, tt, _, _ = _moller_trumbore(trow, ox, oy, oz, dx, dy, dz)
+                    blocked = (
+                        active & th & (min_t - 1e-5 > tt)
+                        & (jnp.abs(tt - min_t) > 1e-4) & (s + k < e)
+                    )
+                    occ = jnp.where(blocked, 1, occ)
+            occ_ref[:] = occ
+
+            # early exit once every live lane is blocked
+            done = ~jnp.any(occ == 0)
+            return new_sp, jnp.maximum(new_lq - Q_LEAVES, 0), done
+
+        alive_any = jnp.any(mint_ref[:] >= 0.0)
+        jax.lax.while_loop(
+            lambda st: ((st[0] > 0) | (st[1] > 0)) & ~st[2],
+            lap,
+            (
+                jnp.where(alive_any, jnp.int32(1), jnp.int32(0)),
+                jnp.int32(0),
+                jnp.bool_(False),
+            ),
+        )
+
+    return kernel
 
 
 def _pad_pool(x, fill):
@@ -340,16 +357,34 @@ def _tiles(x):
     return x.reshape(-1, TILE_ROWS, TILE_LANES)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def closest_hit_bvh_pallas(
-    nodes16, tri12, o, d, t_init, interpret: bool = False
-):
-    """Packet closest-hit over the triangle BVH.
+def _tile_octants(d, num_tiles):
+    """Per-packet direction octant from each tile's first ray (rays are
+    sorted by (alive, octant, cell) per bounce, so tiles are octant-uniform
+    modulo boundaries; this is an ordering heuristic, not a correctness
+    input).  Octant bit k = d[k] > 0, matching the wavefront sort key.
+    Shipped as a scalar-prefetch arg: (num_tiles,) int32 in SMEM."""
+    d0 = d[: num_tiles * TILE : TILE]  # (num_tiles, 3)
+    return (
+        (d0[:, 0] > 0).astype(jnp.int32)
+        + 2 * (d0[:, 1] > 0).astype(jnp.int32)
+        + 4 * (d0[:, 2] > 0).astype(jnp.int32)
+    )
 
-    nodes16: (nn, 16) merged rows [bmin(3) bmax(3) start end left right pad]
-    with the int fields bitcast to f32 and leaves marked by left < 0
-    (build_packet_tables in scene/flatscene.py).  tri12: (nt, 12) rows
-    [v0 v1 v2 pad].  Returns (t, tri, u, v); tri == -1 where nothing beat
+
+@functools.partial(jax.jit, static_argnames=("leaf_k", "interpret"))
+def closest_hit_wbvh_pallas(
+    wf, wi, wp, tri12, o, d, t_init, leaf_k: int, interpret: bool = False
+):
+    """Wide-BVH packet closest-hit.
+
+    wf: (M*48,) f32 child AABBs [c0.bmin c0.bmax c1...]; NaN = empty slot.
+    wi: (M*24,) i32 per node [link x8, start x8, end x8]; link >= 0 points
+    at a wide node, else the (start, end) triangle range is a leaf cut.
+    wp: (M*8,) i32 packed per-octant child orders (3 bits per rank).
+    tri12: (nt, 12) f32 [v0 v1 v2 pad].  Dead lanes carry t_init at
+    -FLT_MAX (a -1 sentinel would still pass `t_enter <= t_init` for
+    origins deep inside the scene box and drag dead packets through the
+    whole tree).  Returns (t, tri, u, v); tri == -1 where nothing beat
     t_init.
     """
     n = o.shape[0]
@@ -359,73 +394,94 @@ def closest_hit_bvh_pallas(
     dx, _ = _pad_pool(d[:, 0], 1.0)
     dy, _ = _pad_pool(d[:, 1], 1.0)
     dz, _ = _pad_pool(d[:, 2], 1.0)
-    t0, _ = _pad_pool(t_init, -1.0)  # padded lanes: t_min<0 rejects all hits
+    t0, _ = _pad_pool(t_init, -FLT_MAX)
 
     num_tiles = ox.shape[0] // TILE
+    octs = _tile_octants(d, num_tiles)
 
-    in_specs = [
-        *[
-            pl.BlockSpec((1, TILE_ROWS, TILE_LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(7)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # octs: whole (num_tiles,) array in SMEM
+        grid=(num_tiles,),
+        in_specs=[
+            *[
+                pl.BlockSpec((1, TILE_ROWS, TILE_LANES), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(7)
+            ],
+            pl.BlockSpec(memory_space=pl.ANY),  # wf (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # wi (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # wp (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # tris (HBM)
         ],
-        pl.BlockSpec(memory_space=pltpu.ANY),  # node floats (HBM)
-        pl.BlockSpec(memory_space=pltpu.ANY),  # node ints (HBM)
-        pl.BlockSpec(memory_space=pltpu.ANY),  # tris (HBM)
-    ]
-    out_specs = [
-        pl.BlockSpec((1, TILE_ROWS, TILE_LANES), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM)
-        for _ in range(4)
-    ]
-
+        out_specs=[
+            pl.BlockSpec((1, TILE_ROWS, TILE_LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        scratch_shapes=[
+            # stack: every wide node pushes at most once per packet, plus
+            # headroom for the unconditional store past the live pointer
+            pltpu.SMEM((wf.shape[0] // 48 + 8 * P_NODES,), jnp.int32),
+            pltpu.SMEM((_leaf_queue_capacity(wf.shape[0] // 48),), jnp.int32),
+            pltpu.SMEM((wf.shape[0],), jnp.float32),
+            pltpu.SMEM((wi.shape[0],), jnp.int32),
+            pltpu.SMEM((wp.shape[0],), jnp.int32),
+            pltpu.VMEM((tri12.shape[0], 12), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
     shape1 = jax.ShapeDtypeStruct((num_tiles, TILE_ROWS, TILE_LANES), jnp.float32)
     shapei = jax.ShapeDtypeStruct((num_tiles, TILE_ROWS, TILE_LANES), jnp.int32)
+    inner = _make_wide_closest_kernel(leaf_k)
 
-    nn = nodes16.shape[0]
-    nt = tri12.shape[0]
-    nodes_f = nodes16[:, 0:6].reshape(-1)
-    nodes_i = jax.lax.bitcast_convert_type(nodes16[:, 6:10], jnp.int32).reshape(-1)
+    def kernel(oct_r, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, t0_r,
+               wf_h, wi_h, wp_h, tr_h,
+               t_r, tri_r, u_r, v_r, stack_r, leafq_r, wf_s, wi_s, wp_s,
+               tr_v, sems):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            copies = [
+                pltpu.make_async_copy(wf_h, wf_s, sems.at[0]),
+                pltpu.make_async_copy(wi_h, wi_s, sems.at[1]),
+                pltpu.make_async_copy(wp_h, wp_s, sems.at[2]),
+                pltpu.make_async_copy(tr_h, tr_v, sems.at[3]),
+            ]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
 
-    def kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, t0_r, nf_h, ni_h, tr_h,
-               t_r, tri_r, u_r, v_r, stack_r, nf_s, ni_s, tr_v, sems):
-        _load_tables(nf_h, ni_h, tr_h, nf_s, ni_s, tr_v, sems)
-        _closest_kernel(
+        inner(
+            oct_r[pl.program_id(0)],
             ox_r.at[0], oy_r.at[0], oz_r.at[0],
             dx_r.at[0], dy_r.at[0], dz_r.at[0], t0_r.at[0],
-            nf_s, ni_s, tr_v,
+            wf_s, wi_s, wp_s, tr_v,
             t_r.at[0], tri_r.at[0], u_r.at[0], v_r.at[0],
-            stack_r,
+            stack_r, leafq_r,
         )
 
     t, tri, u, v = pl.pallas_call(
         kernel,
-        grid=(num_tiles,),
-        in_specs=in_specs,
-        out_specs=out_specs,
+        grid_spec=grid_spec,
         out_shape=[shape1, shapei, shape1, shape1],
-        scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.SMEM((nn * 6,), jnp.float32),
-            pltpu.SMEM((nn * 4,), jnp.int32),
-            pltpu.VMEM((nt, 12), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
         interpret=interpret,
     )(
+        octs,
         _tiles(ox), _tiles(oy), _tiles(oz),
         _tiles(dx), _tiles(dy), _tiles(dz), _tiles(t0),
-        nodes_f, nodes_i, tri12,
+        wf, wi, wp, tri12,
     )
     flat = lambda a: a.reshape(-1)[:n]
     return flat(t), flat(tri), flat(u), flat(v)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def occlusion_bvh_pallas(
-    nodes16, tri12, o, d, min_t, occluded0, interpret: bool = False
+@functools.partial(jax.jit, static_argnames=("leaf_k", "interpret"))
+def occlusion_wbvh_pallas(
+    wf, wi, tri12, o, d, min_t, occluded0, leaf_k: int, interpret: bool = False
 ):
-    """Packet any-hit with the reference's shadow epsilon windows."""
+    """Wide-BVH packet any-hit with the reference's shadow epsilon windows
+    (reference: src/lightSample.h:89-136).  Disabled lanes carry min_t at
+    -FLT_MAX (see closest-hit note on the sentinel)."""
     n = o.shape[0]
     ox, _ = _pad_pool(o[:, 0], 0.0)
     oy, _ = _pad_pool(o[:, 1], 0.0)
@@ -433,7 +489,7 @@ def occlusion_bvh_pallas(
     dx, _ = _pad_pool(d[:, 0], 1.0)
     dy, _ = _pad_pool(d[:, 1], 1.0)
     dz, _ = _pad_pool(d[:, 2], 1.0)
-    mt, _ = _pad_pool(min_t, -1.0)  # padded lanes never block
+    mt, _ = _pad_pool(min_t, -FLT_MAX)
     oc0, _ = _pad_pool(occluded0.astype(jnp.int32), 1)
 
     num_tiles = ox.shape[0] // TILE
@@ -444,28 +500,40 @@ def occlusion_bvh_pallas(
                          memory_space=pltpu.VMEM)
             for _ in range(8)
         ],
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     out_specs = [
         pl.BlockSpec((1, TILE_ROWS, TILE_LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
     ]
-    nn = nodes16.shape[0]
+    nf_sz = wf.shape[0]
+    ni_sz = wi.shape[0]
     nt = tri12.shape[0]
-    nodes_f = nodes16[:, 0:6].reshape(-1)
-    nodes_i = jax.lax.bitcast_convert_type(nodes16[:, 6:10], jnp.int32).reshape(-1)
+    inner = _make_wide_occlusion_kernel(leaf_k)
 
-    def kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, mt_r, oc0_r, nf_h, ni_h, tr_h,
-               occ_r, stack_r, nf_s, ni_s, tr_v, sems):
-        _load_tables(nf_h, ni_h, tr_h, nf_s, ni_s, tr_v, sems)
-        _occlusion_kernel(
+    def kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, mt_r, oc0_r,
+               wf_h, wi_h, tr_h,
+               occ_r, stack_r, leafq_r, wf_s, wi_s, tr_v, sems):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            copies = [
+                pltpu.make_async_copy(wf_h, wf_s, sems.at[0]),
+                pltpu.make_async_copy(wi_h, wi_s, sems.at[1]),
+                pltpu.make_async_copy(tr_h, tr_v, sems.at[2]),
+            ]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+
+        inner(
             ox_r.at[0], oy_r.at[0], oz_r.at[0],
             dx_r.at[0], dy_r.at[0], dz_r.at[0], mt_r.at[0], oc0_r.at[0],
-            nf_s, ni_s, tr_v,
+            wf_s, wi_s, tr_v,
             occ_r.at[0],
-            stack_r,
+            stack_r, leafq_r,
         )
 
     (occ,) = pl.pallas_call(
@@ -475,9 +543,10 @@ def occlusion_bvh_pallas(
         out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((num_tiles, TILE_ROWS, TILE_LANES), jnp.int32)],
         scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.SMEM((nn * 6,), jnp.float32),
-            pltpu.SMEM((nn * 4,), jnp.int32),
+            pltpu.SMEM((nf_sz // 48 + 8 * P_NODES,), jnp.int32),
+            pltpu.SMEM((_leaf_queue_capacity(nf_sz // 48),), jnp.int32),
+            pltpu.SMEM((nf_sz,), jnp.float32),
+            pltpu.SMEM((ni_sz,), jnp.int32),
             pltpu.VMEM((nt, 12), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -485,6 +554,8 @@ def occlusion_bvh_pallas(
     )(
         _tiles(ox), _tiles(oy), _tiles(oz),
         _tiles(dx), _tiles(dy), _tiles(dz), _tiles(mt), _tiles(oc0),
-        nodes_f, nodes_i, tri12,
+        wf, wi, tri12,
     )
     return occ.reshape(-1)[:n].astype(bool)
+
+

@@ -42,6 +42,12 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are visible (for CPU testing set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices})"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices).reshape(-1), (AXIS,))
 
@@ -60,9 +66,11 @@ def make_sharded_iteration(
 ):
     """Pixel-space sharded render step.
 
-    Returns (step, img_sharding): step(flat, cam, img, iteration, key) →
-    (img, rays_traced) where img is (padded_H·W, 3) sharded by rows and
-    rays_traced is the global (psum'd) count.
+    Returns (step, img_sharding, padded_height): step(flat, cam, img,
+    iteration, key) → (img, rays_traced, depth) where img is (padded_H·W, 3)
+    sharded by rows, rays_traced is the global (psum'd) count and depth is
+    the deepest bounce lap any shard executed (pmax — the live
+    TracedDepth stat, reference: src/pathtrace.cu:793-796).
     """
     n_dev = mesh.shape[AXIS]
     ph = padded_height(height, n_dev)
@@ -72,16 +80,17 @@ def make_sharded_iteration(
     def local_step(flat, cam, img_local, iteration, key):
         d = jax.lax.axis_index(AXIS)
         pixel0 = d.astype(jnp.int32) * jnp.int32(local_h * width)
-        img_local, rays, _ = local_iter(flat, cam, img_local, iteration, key, pixel0)
+        img_local, rays, depth = local_iter(flat, cam, img_local, iteration, key, pixel0)
         rays = jax.lax.psum(rays, AXIS)
-        return img_local, rays
+        depth = jax.lax.pmax(depth, AXIS)
+        return img_local, rays, depth
 
     step = jax.jit(
         jax.shard_map(
             local_step,
             mesh=mesh,
             in_specs=(P(), P(), P(AXIS), P(), P()),
-            out_specs=(P(AXIS), P()),
+            out_specs=(P(AXIS), P(), P()),
             check_vma=False,
         )
     )

@@ -32,7 +32,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from pathtracer_tpu.accel.bvh import FlatBVH, build_bvh
+from pathtracer_tpu.accel.bvh import FlatBVH, build_bvh, collapse_wide
 from pathtracer_tpu.scene.parser import LIGHT, OBJ, SceneData
 
 TRI_ROW = 32  # packed triangle row width
@@ -53,8 +53,12 @@ class FlatScene(NamedTuple):
     # BVH — threaded MTBVH (XLA lockstep walk)
     bvh_f32: jnp.ndarray          # (D*N, 8) float32: bmin(3) bmax(3) pad(2)
     bvh_i32: jnp.ndarray          # (D*N, 4) int32: start end hit miss
-    # BVH — pruned single tree, merged rows (Pallas packet traversal)
-    bvh_pk: jnp.ndarray           # (Npk, 16) f32: bmin bmax start end left right (ints bitcast; left<0 = leaf)
+    # BVH — 8-ary collapse of the SAH tree (Pallas wide packet traversal,
+    # accel/bvh.py collapse_wide): child AABBs/links/leaf-ranges flattened
+    # for one-shot DMA into kernel SMEM
+    bvh_wf: jnp.ndarray           # (Mw*48,) f32: per node 8x[bmin(3) bmax(3)]; NaN = empty slot
+    bvh_wi: jnp.ndarray           # (Mw*24,) i32: per node [link x8, start x8, end x8]
+    bvh_wp: jnp.ndarray           # (Mw*8,) i32: per node 8 packed per-octant child orders
     tri_pk: jnp.ndarray           # (T, 12) f32: v0 v1 v2 pad
     # materials — component-major (8, M): per-component (N,) gathers have
     # clean TPU layouts; row gathers of (N, 8) then column slices do not
@@ -90,8 +94,14 @@ class SceneStatic:
     scene_bounds: tuple  # (bmin xyz, bmax xyz) of ALL geometry — the ray
     # sort's spatial hash grid (the BVH root covers triangles only)
     analytic_lights: tuple  # (light_idx, geom_idx, geom_type) for non-OBJ lights
-    packet_depth: int  # cut-tree max depth — gates the Pallas path (its
-    # SMEM traversal stack holds at most depth+1 internal nodes)
+    wide_depth: int   # 8-ary tree max depth — gates the Pallas path (its
+    # SMEM traversal stack holds at most 7·depth+1 pending nodes)
+    wide_nodes: int   # 8-ary node count (SMEM table budget gate)
+    wide_leaf_k: int  # leaf cut size (static unroll factor of the kernels)
+    tri_root_box: tuple  # (bmin xyz, bmax xyz) of the triangle BVH root —
+    # static so the XLA packet pre-mask folds it to constants
+    max_prim: int     # binary-tree leaf capacity (XLA walk unroll factor;
+    # reference: src/BVH.h:5 MAX_PRIM)
     num_geoms: int
     num_tris: int
     num_bvh_nodes: int
@@ -112,8 +122,13 @@ class SceneStatic:
 
 def _pack_triangles(
     scene: SceneData,
+    vertex_normal: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """World-space bake + TBN (reference: src/scene.cpp:481-512)."""
+    """World-space bake + TBN (reference: src/scene.cpp:481-512).
+
+    `vertex_normal=False` forces FACE normals even when the OBJ carries
+    vertex normals (the reference's VERTEX_NORMAL=0 compile branch,
+    reference: src/scene.cpp:395-411, src/utilities.h:26)."""
     rows = []
     geom_ids = []
     for gi, g in enumerate(scene.geoms):
@@ -122,6 +137,11 @@ def _pack_triangles(
         mesh = scene.meshes[g.mesh_key]
         v = mesh["positions"]           # (T,3,3) object space
         n = mesh["normals"]
+        if not vertex_normal:
+            fn = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+            ln = np.linalg.norm(fn, axis=-1, keepdims=True)
+            fn = np.where(ln > 0, fn / np.maximum(ln, 1e-38), fn)
+            n = np.repeat(fn[:, None, :], 3, axis=1)
         uv = mesh["uvs"]
         T = v.shape[0]
         if T == 0:
@@ -231,7 +251,7 @@ def _env_cdfs(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
     return flat_cdf.astype(np.float32), pdf
 
 
-PACKET_LEAF_K = 32
+WIDE_LEAF_K = 16  # triangles per wide-BVH leaf cut (kernel unroll factor)
 
 
 def _scene_bounds(scene: SceneData, bvh: FlatBVH) -> tuple:
@@ -254,56 +274,50 @@ def _scene_bounds(scene: SceneData, bvh: FlatBVH) -> tuple:
     return tuple(float(x) for x in lo) + tuple(float(x) for x in hi)
 
 
-def build_packet_tables(bvh: FlatBVH) -> tuple[np.ndarray, int]:
-    """Derive the Pallas packet-traversal tables from the MAX_PRIM=1 tree.
+def build_wide_tables(bvh: FlatBVH, leaf_k: int | None = None):
+    """8-ary collapse of the SAH tree (accel/bvh.py collapse_wide),
+    flattened for one-shot DMA into the Pallas kernels' SMEM:
 
-    Cuts the tree at nodes spanning <= PACKET_LEAF_K triangles (those
-    become leaves, marked left = -1) and drops everything below the cut —
-    the SAME triangle ordering, so physics is identical while the node
-    table shrinks ~4x (VMEM residency).  Rows are (nn, 16) float32:
-    [bmin(3) bmax(3) start end left right pad(6)] with int fields bitcast.
+    - wf (M*48,) f32: node m child c AABB at [m*48 + c*6 : +6] as
+      [bmin bmax]; NaN for empty slots (the slab test rejects NaN free)
+    - wi (M*24,) i32: node m [link x8 | start x8 | end x8]; link >= 0 is
+      an internal wide node, else [start, end) is a leaf triangle cut
+    - wp (M*8,) i32: per-octant child visit order, 3 bits per rank
 
-    Also returns the cut tree's max depth (root = 0): the kernel's SMEM
-    traversal stack holds at most depth+1 internal nodes, so scenes whose
-    SAH tree is skewed beyond the stack budget must fall back to the XLA
-    walk instead of silently corrupting SMEM (see _packet_tables_fit).
+    Returns (wf, wi, wp, max_depth, num_nodes, root_box).
     """
-    nn = bvh.num_nodes
-    if nn == 0:
-        rows = np.zeros((1, 16), np.float32)
-        rows[:, 8:10] = np.array([-1, -1], np.int32).view(np.float32)  # leaf
-        return rows, 0
-    keep = np.zeros(nn, bool)
-    new_id = np.full(nn, -1, np.int32)
-    order = []
-    stack = [(0, 0)]
-    max_depth = 0
-    while stack:
-        i, depth = stack.pop()
-        max_depth = max(max_depth, depth)
-        keep[i] = True
-        new_id[i] = len(order)
-        order.append(i)
-        span = bvh.end[i] - bvh.start[i]
-        if span > PACKET_LEAF_K and bvh.left[i] >= 0:
-            stack.append((int(bvh.right[i]), depth + 1))
-            stack.append((int(bvh.left[i]), depth + 1))
-    order = np.asarray(order, np.int64)
-    rows = np.zeros((len(order), 16), np.float32)
-    rows[:, 0:3] = bvh.bbox_min[order]
-    rows[:, 3:6] = bvh.bbox_max[order]
-    ints = np.zeros((len(order), 4), np.int32)
-    ints[:, 0] = bvh.start[order]
-    ints[:, 1] = bvh.end[order]
-    span = ints[:, 1] - ints[:, 0]
-    is_cut_leaf = (span <= PACKET_LEAF_K) | (bvh.left[order] < 0)
-    ints[:, 2] = np.where(is_cut_leaf, -1, new_id[np.maximum(bvh.left[order], 0)])
-    ints[:, 3] = np.where(is_cut_leaf, -1, new_id[np.maximum(bvh.right[order], 0)])
-    rows[:, 6:10] = ints.view(np.float32)
-    return rows, max_depth
+    if leaf_k is None:
+        leaf_k = WIDE_LEAF_K  # read at call time (benchmarks tune this)
+    wide = collapse_wide(bvh, leaf_k)
+    m = wide.num_nodes
+    wf = np.concatenate(
+        [wide.child_bmin, wide.child_bmax], axis=2
+    ).reshape(-1).astype(np.float32)  # (M, 8, 6) → flat
+    wi = np.concatenate(
+        [wide.child_link, wide.child_start, wide.child_end], axis=1
+    ).reshape(-1).astype(np.int32)
+    wp = wide.perm.reshape(-1).astype(np.int32)
+    if bvh.num_nodes > 0:
+        root = tuple(float(x) for x in bvh.bbox_min[0]) + tuple(
+            float(x) for x in bvh.bbox_max[0]
+        )
+    else:
+        root = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    return wf, wi, wp, wide.max_depth, m, root
 
 
-def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
+def build_flat_scene(
+    scene: SceneData, opts=None
+) -> tuple[FlatScene, SceneStatic]:
+    """`opts` (utils/config.RenderOptions) wires the reference's
+    compile-time build knobs: use_sah/use_mtbvh/max_prim/bucket_num
+    (reference: src/utilities.h:23-24, src/BVH.h:5-6) and vertex_normal
+    (src/utilities.h:26)."""
+    use_sah = opts.use_sah if opts is not None else True
+    use_mtbvh = opts.use_mtbvh if opts is not None else True
+    max_prim = opts.max_prim if opts is not None else 1
+    bucket_num = opts.bucket_num if opts is not None else 20
+    vertex_normal = opts.vertex_normal if opts is not None else True
     # geoms (pad to at least 1 so gathers are valid)
     G = max(len(scene.geoms), 1)
     geom_type = np.full(G, -1, np.int32)
@@ -318,10 +332,14 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
         inv[i] = g.inverse_transform
         invt[i] = g.inv_transpose
 
-    tri_data, tri_geom = _pack_triangles(scene)
+    tri_data, tri_geom = _pack_triangles(scene, vertex_normal=vertex_normal)
 
     bvh: FlatBVH = build_bvh(
-        tri_data[:, 0:9].reshape(-1, 3, 3) if tri_data.shape[0] else tri_data.reshape(0, 3, 3)
+        tri_data[:, 0:9].reshape(-1, 3, 3) if tri_data.shape[0] else tri_data.reshape(0, 3, 3),
+        use_sah=use_sah,
+        mtbvh=use_mtbvh,
+        max_prim=max_prim,
+        bucket_num=bucket_num,
     )
     if tri_data.shape[0]:
         tri_data = tri_data[bvh.order]
@@ -386,7 +404,12 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
         bvh_i32[:, 1] = bvh.end
         bvh_i32[:, 2] = bvh.hit
         bvh_i32[:, 3] = bvh.miss
-    bvh_pk, packet_depth = build_packet_tables(bvh)
+    # the wide collapse cuts leaves at spans <= leaf_k; binary leaves span
+    # <= max_prim, so the cut size must be at least that
+    wide_k = max(WIDE_LEAF_K, max_prim)
+    bvh_wf, bvh_wi, bvh_wp, wide_depth, wide_nodes, tri_root_box = (
+        build_wide_tables(bvh, leaf_k=wide_k)
+    )
     tri_pk = np.zeros((tri_data.shape[0], 12), np.float32)
     tri_pk[:, 0:9] = tri_data[:, 0:9]
 
@@ -400,7 +423,9 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
         tri_geom=jnp.asarray(tri_geom),
         bvh_f32=jnp.asarray(bvh_f32),
         bvh_i32=jnp.asarray(bvh_i32),
-        bvh_pk=jnp.asarray(bvh_pk),
+        bvh_wf=jnp.asarray(bvh_wf),
+        bvh_wi=jnp.asarray(bvh_wi),
+        bvh_wp=jnp.asarray(bvh_wp),
         tri_pk=jnp.asarray(tri_pk),
         mat_f32=jnp.asarray(mat_f32.T.copy()),
         mat_i32=jnp.asarray(mat_i32.T.copy()),
@@ -423,7 +448,11 @@ def build_flat_scene(scene: SceneData) -> tuple[FlatScene, SceneStatic]:
             for li in range(len(lg))
             if lt[li] < 0
         ),
-        packet_depth=packet_depth,
+        wide_depth=wide_depth,
+        wide_nodes=wide_nodes,
+        wide_leaf_k=wide_k,
+        tri_root_box=tri_root_box,
+        max_prim=max_prim,
         num_geoms=len(scene.geoms),
         num_tris=int(bvh.order.shape[0]),
         num_bvh_nodes=bvh.num_nodes,

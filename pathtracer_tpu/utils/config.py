@@ -31,16 +31,17 @@ class RenderOptions:
     src/BVH.h:5-6 (MAX_PRIM/BUCKET_NUM).
     """
 
-    use_bvh: bool = True
-    use_sah: bool = True
-    use_mtbvh: bool = True
+    use_bvh: bool = True       # False = brute-force triangle sweep
+    use_sah: bool = True       # False = median-split build
+    use_mtbvh: bool = True     # False = single-tree threaded layout
     tonemapping: bool = True
-    vertex_normal: bool = True
-    show_normal: bool = False
-    roughness_min: float = 1e-3
-    roughness_max: float = 1.0
-    max_prim: int = 1
-    bucket_num: int = 20
+    vertex_normal: bool = True  # False = face normals even when OBJ has them
+    show_normal: bool = False   # first-hit normal debug view
+    max_prim: int = 1          # BVH leaf capacity (reference: src/BVH.h:5)
+    bucket_num: int = 20       # SAH buckets (reference: src/BVH.h:6)
+    # ROUGHNESS_MIN/MAX stay compile-time constants (the reference's
+    # src/utilities.h:28-29), applied at parse (scene/parser.py:48) and at
+    # sample time (ops/materials.py:49) — not runtime options.
 
     # TPU-build additions (no reference counterpart)
     sample_mode: SampleMode = SampleMode.BSDF

@@ -1,4 +1,4 @@
-"""Pallas packet traversal must agree with the XLA lockstep walk
+"""Pallas wide-packet traversal must agree with the XLA lockstep walk
 (interpret mode on CPU)."""
 
 import numpy as np
@@ -7,12 +7,14 @@ import pytest
 
 from pathtracer_tpu.ops.traverse import FLT_MAX, closest_hit, occlusion_test
 from pathtracer_tpu.ops.traverse_pallas import (
-    closest_hit_bvh_pallas,
-    occlusion_bvh_pallas,
+    closest_hit_wbvh_pallas,
+    occlusion_wbvh_pallas,
 )
 from pathtracer_tpu.scene.flatscene import build_flat_scene
 from pathtracer_tpu.scene.parser import load_scene
 from tests.test_traverse import random_rays, tri_soup_scene
+
+DEAD_T = jnp.float32(-FLT_MAX)
 
 
 @pytest.fixture(scope="module")
@@ -22,16 +24,20 @@ def soup(tmp_path_factory):
     return build_flat_scene(scene)
 
 
+def _closest(flat, static, o, d, t_init):
+    return closest_hit_wbvh_pallas(
+        flat.bvh_wf, flat.bvh_wi, flat.bvh_wp, flat.tri_pk, o, d, t_init,
+        leaf_k=static.wide_leaf_k, interpret=True,
+    )
+
+
 class TestPacketClosest:
     def test_matches_xla_traversal(self, soup):
         flat, static = soup
         o, d = random_rays(2048, seed=21)
         ref = closest_hit(flat, static, o, d)
         t_init = jnp.full((2048,), FLT_MAX, jnp.float32)
-        t, tri, u, v = closest_hit_bvh_pallas(
-            flat.bvh_pk, flat.tri_pk, o, d, t_init,
-            interpret=True,
-        )
+        t, tri, u, v = _closest(flat, static, o, d, t_init)
         ref_tri = np.asarray(ref.tri)
         hits = ref_tri >= 0
         np.testing.assert_array_equal(np.asarray(tri), ref_tri)
@@ -44,20 +50,21 @@ class TestPacketClosest:
         o, d = random_rays(1024, seed=22)
         # with a tiny t budget nothing can beat it
         t_init = jnp.full((1024,), 1e-3, jnp.float32)
-        t, tri, u, v = closest_hit_bvh_pallas(
-            flat.bvh_pk, flat.tri_pk, o, d, t_init,
-            interpret=True,
-        )
+        t, tri, u, v = _closest(flat, static, o, d, t_init)
+        assert (np.asarray(tri) == -1).all()
+
+    def test_dead_sentinel_is_inert(self, soup):
+        flat, static = soup
+        o, d = random_rays(1024, seed=26)
+        t_init = jnp.full((1024,), DEAD_T, jnp.float32)
+        t, tri, u, v = _closest(flat, static, o, d, t_init)
         assert (np.asarray(tri) == -1).all()
 
     def test_pool_padding(self, soup):
         flat, static = soup
-        o, d = random_rays(1000, seed=23)  # not a multiple of 1024
+        o, d = random_rays(1000, seed=23)  # not a multiple of 2048
         t_init = jnp.full((1000,), FLT_MAX, jnp.float32)
-        t, tri, u, v = closest_hit_bvh_pallas(
-            flat.bvh_pk, flat.tri_pk, o, d, t_init,
-            interpret=True,
-        )
+        t, tri, u, v = _closest(flat, static, o, d, t_init)
         assert t.shape == (1000,)
         ref = closest_hit(flat, static, o, d)
         np.testing.assert_array_equal(np.asarray(tri), np.asarray(ref.tri))
@@ -70,9 +77,10 @@ class TestPacketOcclusion:
         des = o + d * 3.0
         ref = occlusion_test(flat, static, o, d, des)
         min_t = jnp.linalg.norm(des - o, axis=-1)
-        occ = occlusion_bvh_pallas(
-            flat.bvh_pk, flat.tri_pk, o, d, min_t,
-            jnp.zeros((2048,), bool), interpret=True,
+        occ = occlusion_wbvh_pallas(
+            flat.bvh_wf, flat.bvh_wi, flat.tri_pk, o, d, min_t,
+            jnp.zeros((2048,), bool), leaf_k=static.wide_leaf_k,
+            interpret=True,
         )
         np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
 
@@ -82,8 +90,19 @@ class TestPacketOcclusion:
         des = o + d * 3.0
         min_t = jnp.linalg.norm(des - o, axis=-1)
         pre = jnp.ones((1024,), bool)
-        occ = occlusion_bvh_pallas(
-            flat.bvh_pk, flat.tri_pk, o, d, min_t, pre,
-            interpret=True,
+        occ = occlusion_wbvh_pallas(
+            flat.bvh_wf, flat.bvh_wi, flat.tri_pk, o, d, min_t, pre,
+            leaf_k=static.wide_leaf_k, interpret=True,
         )
         assert np.asarray(occ).all()
+
+    def test_disabled_sentinel_never_blocks(self, soup):
+        flat, static = soup
+        o, d = random_rays(1024, seed=27)
+        min_t = jnp.full((1024,), DEAD_T, jnp.float32)
+        occ = occlusion_wbvh_pallas(
+            flat.bvh_wf, flat.bvh_wi, flat.tri_pk, o, d, min_t,
+            jnp.zeros((1024,), bool), leaf_k=static.wide_leaf_k,
+            interpret=True,
+        )
+        assert not np.asarray(occ).any()
