@@ -138,13 +138,9 @@ Q_LEAVES = 2  # queued leaves drained per while-lap
 # and amortize the lap cost over P node pops + Q leaf drains.
 
 
-def _leaf_queue_capacity(num_wide_nodes: int) -> int:
-    """Every leaf child enqueues at most once per packet, plus headroom for
-    the unconditional store slot past the live pointer."""
-    return num_wide_nodes * 8 + 8 * P_NODES
 
-
-def _make_wide_closest_kernel(leaf_k: int):
+def _make_wide_closest_kernel(leaf_k: int, p_nodes: int = P_NODES,
+                              q_leaves: int = Q_LEAVES):
     def kernel(
         octant,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
@@ -171,7 +167,7 @@ def _make_wide_closest_kernel(leaf_k: int):
             best_t = t_ref[:]
 
             # --- node phase: expand up to P_NODES stack tops ---
-            new_sp = jnp.maximum(sp - P_NODES, 0)
+            new_sp = jnp.maximum(sp - p_nodes, 0)
             new_lq = lq
             # read ALL consumed entries BEFORE any push: the branchless
             # stores below start at new_sp and may overwrite the consumed
@@ -185,11 +181,11 @@ def _make_wide_closest_kernel(leaf_k: int):
                     jnp.clip(stack_ref[jnp.maximum(sp - 1 - j, 0)], 0, m1),
                     sp - 1 - j >= 0,
                 )
-                for j in range(P_NODES)
+                for j in range(p_nodes)
             ]
             # j descending: the stack top (nearest node) is processed LAST
             # so its children are pushed last → popped first (front-to-back)
-            for j in range(P_NODES - 1, -1, -1):
+            for j in range(p_nodes - 1, -1, -1):
                 node, node_valid = popped[j]
                 perm = _wide_visit_order(wp_ref, node, octant)
                 base_f = node * 48
@@ -214,7 +210,7 @@ def _make_wide_closest_kernel(leaf_k: int):
             best_tri = tri_out_ref[:]
             best_u = u_ref[:]
             best_v = v_ref[:]
-            for q in range(Q_LEAVES):
+            for q in range(q_leaves):
                 qidx = new_lq - 1 - q
                 leaf_valid = qidx >= 0
                 lslot = leafq_ref[jnp.maximum(qidx, 0)]
@@ -240,7 +236,7 @@ def _make_wide_closest_kernel(leaf_k: int):
             u_ref[:] = best_u
             v_ref[:] = best_v
 
-            return new_sp, jnp.maximum(new_lq - Q_LEAVES, 0)
+            return new_sp, jnp.maximum(new_lq - q_leaves, 0)
 
         # whole-dead packets (every t0 at the -FLT_MAX sentinel) never enter
         alive_any = jnp.any(t0_ref[:] >= 0.0)
@@ -253,7 +249,8 @@ def _make_wide_closest_kernel(leaf_k: int):
     return kernel
 
 
-def _make_wide_occlusion_kernel(leaf_k: int):
+def _make_wide_occlusion_kernel(leaf_k: int, p_nodes: int = P_NODES,
+                                q_leaves: int = Q_LEAVES):
     def kernel(
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, mint_ref, occ0_ref,
         wf_ref, wi_ref, tri_ref,
@@ -277,7 +274,7 @@ def _make_wide_occlusion_kernel(leaf_k: int):
             live = occ == 0
             cap = jnp.where(live, min_t, -FLT_MAX)  # blocked lanes idle
 
-            new_sp = jnp.maximum(sp - P_NODES, 0)
+            new_sp = jnp.maximum(sp - p_nodes, 0)
             new_lq = lq
             m1 = wf_ref.shape[0] // 48 - 1
             popped = [  # read+clip before any store (see closest kernel)
@@ -285,9 +282,9 @@ def _make_wide_occlusion_kernel(leaf_k: int):
                     jnp.clip(stack_ref[jnp.maximum(sp - 1 - j, 0)], 0, m1),
                     sp - 1 - j >= 0,
                 )
-                for j in range(P_NODES)
+                for j in range(p_nodes)
             ]
-            for j in range(P_NODES - 1, -1, -1):  # any-hit: order-free
+            for j in range(p_nodes - 1, -1, -1):  # any-hit: order-free
                 node, node_valid = popped[j]
                 base_f = node * 48
                 base_i = node * 24
@@ -304,7 +301,7 @@ def _make_wide_occlusion_kernel(leaf_k: int):
                     leafq_ref[new_lq] = node * 8 + slot
                     new_lq = new_lq + (any_c & is_leaf).astype(jnp.int32)
 
-            for q in range(Q_LEAVES):
+            for q in range(q_leaves):
                 qidx = new_lq - 1 - q
                 leaf_valid = qidx >= 0
                 lslot = leafq_ref[jnp.maximum(qidx, 0)]
@@ -329,7 +326,7 @@ def _make_wide_occlusion_kernel(leaf_k: int):
 
             # early exit once every live lane is blocked
             done = ~jnp.any(occ == 0)
-            return new_sp, jnp.maximum(new_lq - Q_LEAVES, 0), done
+            return new_sp, jnp.maximum(new_lq - q_leaves, 0), done
 
         alive_any = jnp.any(mint_ref[:] >= 0.0)
         jax.lax.while_loop(
@@ -345,25 +342,25 @@ def _make_wide_occlusion_kernel(leaf_k: int):
     return kernel
 
 
-def _pad_pool(x, fill):
+def _pad_pool(x, fill, tile=TILE):
     n = x.shape[0]
-    pad = (-n) % TILE
+    pad = (-n) % tile
     if pad:
         x = jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
     return x, n
 
 
-def _tiles(x):
-    return x.reshape(-1, TILE_ROWS, TILE_LANES)
+def _tiles(x, rows=TILE_ROWS):
+    return x.reshape(-1, rows, TILE_LANES)
 
 
-def _tile_octants(d, num_tiles):
+def _tile_octants(d, num_tiles, tile=TILE):
     """Per-packet direction octant from each tile's first ray (rays are
     sorted by (alive, octant, cell) per bounce, so tiles are octant-uniform
     modulo boundaries; this is an ordering heuristic, not a correctness
     input).  Octant bit k = d[k] > 0, matching the wavefront sort key.
     Shipped as a scalar-prefetch arg: (num_tiles,) int32 in SMEM."""
-    d0 = d[: num_tiles * TILE : TILE]  # (num_tiles, 3)
+    d0 = d[: num_tiles * tile : tile]  # (num_tiles, 3)
     return (
         (d0[:, 0] > 0).astype(jnp.int32)
         + 2 * (d0[:, 1] > 0).astype(jnp.int32)
@@ -371,9 +368,11 @@ def _tile_octants(d, num_tiles):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "leaf_k", "interpret", "p_nodes", "q_leaves", "rows"))
 def closest_hit_wbvh_pallas(
-    wf, wi, wp, tri12, o, d, t_init, leaf_k: int, interpret: bool = False
+    wf, wi, wp, tri12, o, d, t_init, leaf_k: int, interpret: bool = False,
+    p_nodes: int = P_NODES, q_leaves: int = Q_LEAVES, rows: int = TILE_ROWS,
 ):
     """Wide-BVH packet closest-hit.
 
@@ -388,23 +387,24 @@ def closest_hit_wbvh_pallas(
     t_init.
     """
     n = o.shape[0]
-    ox, _ = _pad_pool(o[:, 0], 0.0)
-    oy, _ = _pad_pool(o[:, 1], 0.0)
-    oz, _ = _pad_pool(o[:, 2], 0.0)
-    dx, _ = _pad_pool(d[:, 0], 1.0)
-    dy, _ = _pad_pool(d[:, 1], 1.0)
-    dz, _ = _pad_pool(d[:, 2], 1.0)
-    t0, _ = _pad_pool(t_init, -FLT_MAX)
+    tile = rows * TILE_LANES
+    ox, _ = _pad_pool(o[:, 0], 0.0, tile)
+    oy, _ = _pad_pool(o[:, 1], 0.0, tile)
+    oz, _ = _pad_pool(o[:, 2], 0.0, tile)
+    dx, _ = _pad_pool(d[:, 0], 1.0, tile)
+    dy, _ = _pad_pool(d[:, 1], 1.0, tile)
+    dz, _ = _pad_pool(d[:, 2], 1.0, tile)
+    t0, _ = _pad_pool(t_init, -FLT_MAX, tile)
 
-    num_tiles = ox.shape[0] // TILE
-    octs = _tile_octants(d, num_tiles)
+    num_tiles = ox.shape[0] // tile
+    octs = _tile_octants(d, num_tiles, tile)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # octs: whole (num_tiles,) array in SMEM
         grid=(num_tiles,),
         in_specs=[
             *[
-                pl.BlockSpec((1, TILE_ROWS, TILE_LANES), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, rows, TILE_LANES), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM)
                 for _ in range(7)
             ],
@@ -414,15 +414,15 @@ def closest_hit_wbvh_pallas(
             pl.BlockSpec(memory_space=pl.ANY),  # tris (HBM)
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE_ROWS, TILE_LANES), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, rows, TILE_LANES), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ],
         scratch_shapes=[
             # stack: every wide node pushes at most once per packet, plus
             # headroom for the unconditional store past the live pointer
-            pltpu.SMEM((wf.shape[0] // 48 + 8 * P_NODES,), jnp.int32),
-            pltpu.SMEM((_leaf_queue_capacity(wf.shape[0] // 48),), jnp.int32),
+            pltpu.SMEM((wf.shape[0] // 48 + 8 * p_nodes,), jnp.int32),
+            pltpu.SMEM((wf.shape[0] // 48 * 8 + 8 * p_nodes,), jnp.int32),
             pltpu.SMEM((wf.shape[0],), jnp.float32),
             pltpu.SMEM((wi.shape[0],), jnp.int32),
             pltpu.SMEM((wp.shape[0],), jnp.int32),
@@ -430,9 +430,9 @@ def closest_hit_wbvh_pallas(
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
-    shape1 = jax.ShapeDtypeStruct((num_tiles, TILE_ROWS, TILE_LANES), jnp.float32)
-    shapei = jax.ShapeDtypeStruct((num_tiles, TILE_ROWS, TILE_LANES), jnp.int32)
-    inner = _make_wide_closest_kernel(leaf_k)
+    shape1 = jax.ShapeDtypeStruct((num_tiles, rows, TILE_LANES), jnp.float32)
+    shapei = jax.ShapeDtypeStruct((num_tiles, rows, TILE_LANES), jnp.int32)
+    inner = _make_wide_closest_kernel(leaf_k, p_nodes, q_leaves)
 
     def kernel(oct_r, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, t0_r,
                wf_h, wi_h, wp_h, tr_h,
@@ -467,36 +467,39 @@ def closest_hit_wbvh_pallas(
         interpret=interpret,
     )(
         octs,
-        _tiles(ox), _tiles(oy), _tiles(oz),
-        _tiles(dx), _tiles(dy), _tiles(dz), _tiles(t0),
+        _tiles(ox, rows), _tiles(oy, rows), _tiles(oz, rows),
+        _tiles(dx, rows), _tiles(dy, rows), _tiles(dz, rows), _tiles(t0, rows),
         wf, wi, wp, tri12,
     )
     flat = lambda a: a.reshape(-1)[:n]
     return flat(t), flat(tri), flat(u), flat(v)
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "leaf_k", "interpret", "p_nodes", "q_leaves", "rows"))
 def occlusion_wbvh_pallas(
-    wf, wi, tri12, o, d, min_t, occluded0, leaf_k: int, interpret: bool = False
+    wf, wi, tri12, o, d, min_t, occluded0, leaf_k: int, interpret: bool = False,
+    p_nodes: int = P_NODES, q_leaves: int = Q_LEAVES, rows: int = TILE_ROWS,
 ):
     """Wide-BVH packet any-hit with the reference's shadow epsilon windows
     (reference: src/lightSample.h:89-136).  Disabled lanes carry min_t at
     -FLT_MAX (see closest-hit note on the sentinel)."""
     n = o.shape[0]
-    ox, _ = _pad_pool(o[:, 0], 0.0)
-    oy, _ = _pad_pool(o[:, 1], 0.0)
-    oz, _ = _pad_pool(o[:, 2], 0.0)
-    dx, _ = _pad_pool(d[:, 0], 1.0)
-    dy, _ = _pad_pool(d[:, 1], 1.0)
-    dz, _ = _pad_pool(d[:, 2], 1.0)
-    mt, _ = _pad_pool(min_t, -FLT_MAX)
-    oc0, _ = _pad_pool(occluded0.astype(jnp.int32), 1)
+    tile = rows * TILE_LANES
+    ox, _ = _pad_pool(o[:, 0], 0.0, tile)
+    oy, _ = _pad_pool(o[:, 1], 0.0, tile)
+    oz, _ = _pad_pool(o[:, 2], 0.0, tile)
+    dx, _ = _pad_pool(d[:, 0], 1.0, tile)
+    dy, _ = _pad_pool(d[:, 1], 1.0, tile)
+    dz, _ = _pad_pool(d[:, 2], 1.0, tile)
+    mt, _ = _pad_pool(min_t, -FLT_MAX, tile)
+    oc0, _ = _pad_pool(occluded0.astype(jnp.int32), 1, tile)
 
-    num_tiles = ox.shape[0] // TILE
+    num_tiles = ox.shape[0] // tile
 
     in_specs = [
         *[
-            pl.BlockSpec((1, TILE_ROWS, TILE_LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, rows, TILE_LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(8)
         ],
@@ -505,13 +508,13 @@ def occlusion_wbvh_pallas(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     out_specs = [
-        pl.BlockSpec((1, TILE_ROWS, TILE_LANES), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, rows, TILE_LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
     ]
     nf_sz = wf.shape[0]
     ni_sz = wi.shape[0]
     nt = tri12.shape[0]
-    inner = _make_wide_occlusion_kernel(leaf_k)
+    inner = _make_wide_occlusion_kernel(leaf_k, p_nodes, q_leaves)
 
     def kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, mt_r, oc0_r,
                wf_h, wi_h, tr_h,
@@ -541,10 +544,10 @@ def occlusion_wbvh_pallas(
         grid=(num_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, TILE_ROWS, TILE_LANES), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, rows, TILE_LANES), jnp.int32)],
         scratch_shapes=[
-            pltpu.SMEM((nf_sz // 48 + 8 * P_NODES,), jnp.int32),
-            pltpu.SMEM((_leaf_queue_capacity(nf_sz // 48),), jnp.int32),
+            pltpu.SMEM((nf_sz // 48 + 8 * p_nodes,), jnp.int32),
+            pltpu.SMEM((nf_sz // 48 * 8 + 8 * p_nodes,), jnp.int32),
             pltpu.SMEM((nf_sz,), jnp.float32),
             pltpu.SMEM((ni_sz,), jnp.int32),
             pltpu.VMEM((nt, 12), jnp.float32),
@@ -552,8 +555,8 @@ def occlusion_wbvh_pallas(
         ],
         interpret=interpret,
     )(
-        _tiles(ox), _tiles(oy), _tiles(oz),
-        _tiles(dx), _tiles(dy), _tiles(dz), _tiles(mt), _tiles(oc0),
+        _tiles(ox, rows), _tiles(oy, rows), _tiles(oz, rows),
+        _tiles(dx, rows), _tiles(dy, rows), _tiles(dz, rows), _tiles(mt, rows), _tiles(oc0, rows),
         wf, wi, tri12,
     )
     return occ.reshape(-1)[:n].astype(bool)

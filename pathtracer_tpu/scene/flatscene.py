@@ -251,7 +251,9 @@ def _env_cdfs(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
     return flat_cdf.astype(np.float32), pdf
 
 
-WIDE_LEAF_K = 16  # triangles per wide-BVH leaf cut (kernel unroll factor)
+WIDE_LEAF_K = 8  # triangles per wide-BVH leaf cut (kernel unroll factor;
+# K=8 measured fastest on glassbunny with the branchless lap kernels —
+# tools/bench_ab.py: K8 5.7 / K16 5.1 / K32 4.2 Mrays/s unsorted)
 
 
 def _scene_bounds(scene: SceneData, bvh: FlatBVH) -> tuple:

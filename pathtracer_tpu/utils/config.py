@@ -48,11 +48,13 @@ class RenderOptions:
     env_importance: bool = False  # env-map CDF importance sampling; the
     # reference builds the luminance CDF but never samples it
     # (reference: src/scene.cpp:514-529, README.md:25-27 TODO)
-    compaction: bool = True       # per-bounce ray sorting by (alive, octant,
-    # origin cell): dead rays cluster into packets that exit instantly and
-    # live packets stay coherent — the TPU analogue of the reference's
-    # compact_rays (reference: src/pathtrace.cu:614-631), with the count
-    # kept on device instead of round-tripping to the host
+    compaction: bool = False      # per-bounce ray sorting by (alive, octant,
+    # origin cell) — the TPU analogue of the reference's compact_rays
+    # (reference: src/pathtrace.cu:614-631), with the count kept on device.
+    # OFF by default since round 2: the permute gathers + scatter-add cost
+    # ~450 ms/iter at 640k rays (profiled: the single largest fusion), and
+    # the branchless wide-BVH kernels traverse unsorted packets faster
+    # than sorted-plus-permute (tools/bench_ab.py: 5.7 vs 5.3 Mrays/s)
     interpret: bool = False       # run Pallas kernels in interpreter mode
     pallas_traversal: bool = True  # packet BVH kernels (TPU); False = XLA
     # lockstep walk (also the automatic fallback on CPU)
