@@ -55,11 +55,35 @@ for b in range(6):
     )
     t_init = jnp.where(rb_hit & (rb_enter <= t_init), t_init, DEAD_T)
     states.append(
-        (np.asarray(state.o), np.asarray(state.d), np.asarray(t_init),
+        (jax.device_put(np.asarray(state.o)),
+         jax.device_put(np.asarray(state.d)),
+         jax.device_put(np.asarray(t_init)),
          int(np.asarray(state.alive).sum()))
     )
     state, alive = step(flat, key, jnp.int32(1), state)
 print("captured bounces, alive:", [s[3] for s in states], flush=True)
+
+if sys.argv[1:] and sys.argv[1] == "sorted":
+    # pre-sort rays by (alive, octant, cell) on the host: measures the
+    # KERNEL-side value of coherent packets, ignoring permute cost
+    sb = np.asarray(static.scene_bounds, np.float32)
+    sorted_states = []
+    for (o, d, t0, alive_n) in states:
+        o_, d_, t_ = np.asarray(o), np.asarray(d), np.asarray(t0)
+        cell = np.clip(
+            (o_ - sb[0:3]) / np.maximum(sb[3:6] - sb[0:3], 1e-6) * 7.999,
+            0, 7.999,
+        ).astype(np.int64)
+        octant = (d_[:, 0] > 0) + 2 * (d_[:, 1] > 0) + 4 * (d_[:, 2] > 0)
+        key_ = ((octant * 8 + cell[:, 0]) * 8 + cell[:, 1]) * 8 + cell[:, 2]
+        key_ = np.where(t_ > -1e37, key_, 1 << 20)
+        perm = np.argsort(key_, kind="stable")
+        sorted_states.append(
+            (jax.device_put(o_[perm]), jax.device_put(d_[perm]),
+             jax.device_put(t_[perm]), alive_n)
+        )
+    states = sorted_states
+    sys.argv = sys.argv[:1] + sys.argv[2:]
 
 configs = [tuple(map(int, a.split(","))) for a in sys.argv[1:]] or [
     (2, 2, 16), (4, 2, 16), (4, 4, 16), (2, 2, 8), (4, 4, 8), (8, 4, 16),
@@ -70,8 +94,8 @@ for (P, Q, R) in configs:
         outs = []
         for (o, d, t0, _) in states:
             outs.append(closest_hit_wbvh_pallas(
-                wf, wi, wp, tri, jnp.asarray(o), jnp.asarray(d),
-                jnp.asarray(t0), leaf_k=8, p_nodes=P, q_leaves=Q, rows=R,
+                wf, wi, wp, tri, o, d, t0,
+                leaf_k=8, p_nodes=P, q_leaves=Q, rows=R,
             )[0])
         return outs
 
