@@ -133,6 +133,7 @@ class Renderer:
             if self.staged:
                 self._start_fn = jax.jit(builder.start_state)
                 self._bounce_fn = jax.jit(builder.bounce_step)
+                self._finish_fn = jax.jit(builder.finish_state)
             else:
                 self._iter_fn = jax.jit(builder)
         self.seed = 0
@@ -169,7 +170,7 @@ class Renderer:
             laps += 1
             if int(alive) == 0:
                 break
-        return state.img, state.rays_traced, laps
+        return self._finish_fn(state), state.rays_traced, laps
 
     # -- state --------------------------------------------------------------
     def reset(self):

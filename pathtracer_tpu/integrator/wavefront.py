@@ -102,6 +102,8 @@ class _BounceState(NamedTuple):
     o: jnp.ndarray
     d: jnp.ndarray
     color: jnp.ndarray
+    contrib: jnp.ndarray  # radiance accumulated BY THIS RAY (rides the ray
+    # through sorts; scattered into img once per iteration, not per bounce)
     prev_pdf: jnp.ndarray
     remaining: jnp.ndarray
     alive: jnp.ndarray
@@ -149,6 +151,7 @@ def make_render_iteration(
     trace_depth = static.trace_depth
     use_bvh = bool(opts.use_bvh)
     use_pallas = bool(opts.pallas_traversal) and static.num_tris > 0 and use_bvh
+    knobs = (int(opts.packet_p), int(opts.packet_q), int(opts.packet_rows))
     show_normal = bool(opts.show_normal)
     # per-bounce ray sorting (the TPU analogue of the reference's stream
     # compaction, reference: src/pathtrace.cu:614-631): rays reorder by
@@ -178,13 +181,26 @@ def make_render_iteration(
         )
         key = ((octant * 8 + cell[:, 0]) * 8 + cell[:, 1]) * 8 + cell[:, 2]
         key = jnp.where(state.alive, key, jnp.int32(1 << 20))  # dead → back
-        perm = jnp.argsort(key, stable=True)
-        g1 = lambda a: a[perm]
-        g3 = lambda a: a[perm]
+        # ONE multi-operand lax.sort carrying every per-ray field as 1D
+        # columns: payloads ride the sort network, so there are no (N, 3)
+        # row gathers (those tile to 128 lanes → strided slice+reduce
+        # fusions, the round-1 reason sorting cost ~450 ms/iter)
+        cols = (
+            state.o[:, 0], state.o[:, 1], state.o[:, 2],
+            state.d[:, 0], state.d[:, 1], state.d[:, 2],
+            state.color[:, 0], state.color[:, 1], state.color[:, 2],
+            state.contrib[:, 0], state.contrib[:, 1], state.contrib[:, 2],
+            state.prev_pdf,
+            state.remaining,
+            state.alive,
+            state.lane,
+        )
+        out = jax.lax.sort((key,) + cols, num_keys=1, is_stable=True)
+        st3 = lambda i: jnp.stack(out[i : i + 3], axis=1)
         return state._replace(
-            o=g3(state.o), d=g3(state.d), color=g3(state.color),
-            prev_pdf=g1(state.prev_pdf), remaining=g1(state.remaining),
-            alive=g1(state.alive), lane=g1(state.lane),
+            o=st3(1), d=st3(4), color=st3(7), contrib=st3(10),
+            prev_pdf=out[13], remaining=out[14],
+            alive=out[15].astype(bool), lane=out[16],
         )
 
     def bounce_body(flat: FlatScene, key, iteration, pixel0, state: _BounceState):
@@ -193,10 +209,10 @@ def make_render_iteration(
             state = _sort_state(flat, state)
         alive = state.alive
         pixel_idx = pixel0 + state.lane
-        contrib = jnp.zeros((n, 3), jnp.float32)
+        contrib = state.contrib
         hit = closest_hit(
             flat, static, state.o, state.d, use_pallas=use_pallas, alive=alive,
-            use_bvh=use_bvh,
+            use_bvh=use_bvh, knobs=knobs,
         )
         rays_traced = state.rays_traced + jnp.sum(alive.astype(jnp.int32))
 
@@ -209,15 +225,11 @@ def make_render_iteration(
             # geometric/interpolated normal, before normal mapping)
             # (reference: src/pathtrace.cu:298-301, src/utilities.h:27)
             viz = m.process_nan(m.normalize(hit.normal) + 1.0)
-            contrib = jnp.where((alive & ~miss)[..., None], viz, 0.0)
-            if sort_rays:
-                img = img.at[state.lane].add(contrib)
-            else:
-                img = img + contrib
+            contrib = contrib + jnp.where((alive & ~miss)[..., None], viz, 0.0)
             return state._replace(
                 depth=depth + 1,
+                contrib=contrib,
                 alive=jnp.zeros_like(alive),
-                img=img,
                 rays_traced=rays_traced,
             )
         if static.env_map_id >= 0:
@@ -260,7 +272,7 @@ def make_render_iteration(
         if mode == SampleMode.DIRECT_LI:
             # reference: src/pathtrace.cu:348-403 — one NEE bounce, then stop
             li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
-            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh)
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs)
             rays_traced = rays_traced + jnp.sum((alive & ~is_light).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             bsdf = bsdf_eval(params, nrm, state.d, wi, present=static.material_types)
@@ -276,15 +288,12 @@ def make_render_iteration(
                 add_light[..., None], m.process_nan(state.color * params.emit), 0.0
             )
             contrib = contrib + jnp.where(add_nee[..., None], m.process_nan(nee), 0.0)
-            if sort_rays:
-                img = img.at[state.lane].add(contrib)
-            else:
-                img = img + contrib
             return _BounceState(
                 depth + 1,
                 state.o,
                 state.d,
                 state.color,
+                contrib,
                 state.prev_pdf,
                 state.remaining,
                 jnp.zeros_like(alive),
@@ -314,7 +323,7 @@ def make_render_iteration(
         # --- NEE term (MIS only, non-delta) ---
         if mode == SampleMode.MIS:
             li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
-            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh)
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs)
             rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             b_pdf = pdf_eval(params, nrm, state.d, wi, present=static.material_types)
@@ -353,13 +362,9 @@ def make_render_iteration(
         remaining = jnp.where(cont, state.remaining - 1, state.remaining)
         alive = cont & (remaining > 0)
 
-        if sort_rays:
-            img = img.at[state.lane].add(contrib)
-        else:
-            img = img + contrib
         return _BounceState(
-            depth + 1, o, d, color, prev_pdf, remaining, alive, state.lane,
-            img, rays_traced
+            depth + 1, o, d, color, contrib, prev_pdf, remaining, alive,
+            state.lane, img, rays_traced
         )
 
     def render_iteration(
@@ -373,6 +378,7 @@ def make_render_iteration(
             o=o,
             d=d,
             color=jnp.ones((n, 3), jnp.float32),
+            contrib=jnp.zeros((n, 3), jnp.float32),
             prev_pdf=jnp.full((n,), -1.0, jnp.float32),
             remaining=jnp.full((n,), trace_depth, jnp.int32),
             alive=jnp.ones((n,), bool),
@@ -387,7 +393,7 @@ def make_render_iteration(
         state = jax.lax.while_loop(
             cond, partial(bounce_body, flat, key, iteration, pixel0), state
         )
-        return state.img, state.rays_traced, state.depth
+        return finish_state(state), state.rays_traced, state.depth
 
     def start_state(flat: FlatScene, cam: CameraArrays, img, iteration, key, pixel0=0):
         """Staged-mode entry: build the initial wavefront (raygen only)."""
@@ -399,6 +405,7 @@ def make_render_iteration(
             o=o,
             d=d,
             color=jnp.ones((n, 3), jnp.float32),
+            contrib=jnp.zeros((n, 3), jnp.float32),
             prev_pdf=jnp.full((n,), -1.0, jnp.float32),
             remaining=jnp.full((n,), trace_depth, jnp.int32),
             alive=jnp.ones((n,), bool),
@@ -406,6 +413,14 @@ def make_render_iteration(
             img=img,
             rays_traced=jnp.int32(0),
         )
+
+    def finish_state(state: _BounceState):
+        """Fold the per-ray contributions into the image: ONE scatter-add
+        per iteration when rays were sorted (lanes migrated), a plain
+        elementwise add otherwise (lane i == pixel i)."""
+        if sort_rays:
+            return state.img.at[state.lane].add(state.contrib)
+        return state.img + state.contrib
 
     def bounce_step(flat: FlatScene, key, iteration, state: _BounceState, pixel0=0):
         """Staged-mode body: ONE intersect+shade pass over the pool.
@@ -423,5 +438,6 @@ def make_render_iteration(
 
     render_iteration.start_state = start_state
     render_iteration.bounce_step = bounce_step
+    render_iteration.finish_state = finish_state
     render_iteration.trace_depth = trace_depth
     return render_iteration

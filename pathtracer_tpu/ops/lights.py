@@ -102,7 +102,7 @@ def _emit_color_by_geom(flat: FlatScene, static: SceneStatic, geom_idx):
 def light_sample(
     flat: FlatScene, static: SceneStatic, view_pos, rands,
     use_pallas: bool = False, include_env: bool = False,
-    use_bvh: bool = True,
+    use_bvh: bool = True, knobs: tuple = (2, 4, 8),
 ) -> LightSampleRecord:
     """Sample one light per ray, with occlusion.
 
@@ -184,7 +184,7 @@ def light_sample(
     ray_dir = m.normalize(light_pos - view_pos)
     occ = occlusion_test(
         flat, static, view_pos + 1e-5 * ray_dir, ray_dir, light_pos,
-        enabled=pdf > 0.0, use_pallas=use_pallas, use_bvh=use_bvh,
+        enabled=pdf > 0.0, use_pallas=use_pallas, use_bvh=use_bvh, knobs=knobs,
     )
     pdf = jnp.where(occ, -1.0, pdf)
     emit = jnp.where(occ[..., None], 0.0, emit)

@@ -48,13 +48,16 @@ class RenderOptions:
     env_importance: bool = False  # env-map CDF importance sampling; the
     # reference builds the luminance CDF but never samples it
     # (reference: src/scene.cpp:514-529, README.md:25-27 TODO)
-    compaction: bool = False      # per-bounce ray sorting by (alive, octant,
+    compaction: bool = True       # per-bounce ray sorting by (alive, octant,
     # origin cell) — the TPU analogue of the reference's compact_rays
     # (reference: src/pathtrace.cu:614-631), with the count kept on device.
-    # OFF by default since round 2: the permute gathers + scatter-add cost
-    # ~450 ms/iter at 640k rays (profiled: the single largest fusion), and
-    # the branchless wide-BVH kernels traverse unsorted packets faster
-    # than sorted-plus-permute (tools/bench_ab.py: 5.7 vs 5.3 Mrays/s)
+    # Sorted packets traverse ~3x faster (tools/kernel_sweep.py sorted);
+    # the round-1 cost concern is gone: the sort is ONE multi-operand
+    # lax.sort over 1D columns (no (N,3) row gathers) and the image
+    # scatter-add happens once per ITERATION (contrib rides the ray).
+    packet_p: int = 2             # wide-kernel stack pops per while-lap
+    packet_q: int = 4             # wide-kernel leaf drains per while-lap
+    packet_rows: int = 8          # packet shape: rows x 128 rays
     interpret: bool = False       # run Pallas kernels in interpreter mode
     pallas_traversal: bool = True  # packet BVH kernels (TPU); False = XLA
     # lockstep walk (also the automatic fallback on CPU)

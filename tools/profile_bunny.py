@@ -21,7 +21,7 @@ scene = sys.argv[1] if len(sys.argv) > 1 else "scenes/glassbunny.txt"
 r = Renderer(scene, opts=RenderOptions().with_mode(SampleMode.MIS))
 print("backend:", jax.default_backend(), "pallas:", r.opts.pallas_traversal,
       "staged:", r.staged, "tris:", r.static.num_tris,
-      "pk nodes:", r.flat.bvh_pk.shape[0])
+      "wide nodes:", r.static.wide_nodes)
 
 r.step(1)  # compile
 print(f"compile {r.stats.compile_seconds:.1f}s")

@@ -1,0 +1,148 @@
+"""Host-side wide-BVH packet-traversal simulator.
+
+Replays captured bounce states (tools/capture_states.py) through an exact
+numpy model of the Pallas wide-packet walk and reports, per packet size and
+sort mode, the packet-union statistics that determine kernel cost:
+
+  visits      = internal-node pops (the serial unit)
+  leaves      = leaf-cut drains
+  work/ray    = VPU-lane work model: (visits*8*25 + leaves*leaf_k*45)
+                vector instrs per VREG-row, divided across the packet's rays
+
+Usage: python tools/union_sim.py [K ...]   (packet sizes; default sweep)
+"""
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pathtracer_tpu.scene.flatscene as fs
+
+fs.WIDE_LEAF_K = 8
+
+from pathtracer_tpu.scene.flatscene import build_flat_scene
+from pathtracer_tpu.scene.parser import load_scene
+
+scene = load_scene("scenes/glassbunny.txt")
+flat, static = build_flat_scene(scene)
+wf = np.asarray(flat.bvh_wf).reshape(-1, 8, 6)   # (M, 8, 6) child boxes
+wi = np.asarray(flat.bvh_wi).reshape(-1, 24)     # link x8, start x8, end x8
+tri = np.asarray(flat.tri_pk)                    # (nt, 12)
+M = wf.shape[0]
+leaf_k = static.wide_leaf_k
+print(f"wide nodes {M}, tris {tri.shape[0]}, leaf_k {leaf_k}", flush=True)
+
+d = np.load("/tmp/bounce_states.npz")
+NB = int(d["nb"])
+
+cb_min = wf[:, :, 0:3]
+cb_max = wf[:, :, 3:6]
+links = wi[:, 0:8]
+starts = wi[:, 8:16]
+ends = wi[:, 16:24]
+
+
+def sim_packet(o, dirs, t0):
+    K = o.shape[0]
+    best = t0.copy()
+    inv = 1.0 / dirs
+    stack = [0]
+    visits = leaves = tri_tests = 0
+    while stack:
+        node = stack.pop()
+        visits += 1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lo = (cb_min[node][None, :, :] - o[:, None, :]) * inv[:, None, :]
+            hi = (cb_max[node][None, :, :] - o[:, None, :]) * inv[:, None, :]
+        tmin = np.minimum(lo, hi).max(axis=2)  # (K, 8)
+        tmax = np.maximum(lo, hi).min(axis=2)
+        hit = (tmin <= tmax) & (tmax > 0.0)
+        active = hit & (tmin <= best[:, None])  # (K, 8)
+        anyc = active.any(axis=0)
+        for c in range(8):
+            if not anyc[c]:
+                continue
+            ln = links[node, c]
+            if ln >= 0:
+                stack.append(ln)
+            else:
+                s, e = starts[node, c], ends[node, c]
+                if e <= s:
+                    continue
+                leaves += 1
+                tri_tests += e - s
+                rows = tri[s:e]
+                v0 = rows[:, 0:3]
+                e1 = rows[:, 3:6] - v0
+                e2 = rows[:, 6:9] - v0
+                p = np.cross(dirs[:, None, :], e2[None, :, :])
+                det = (e1[None] * p).sum(-1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    idet = np.where(det == 0, 1.0, 1.0 / det)
+                tv = o[:, None, :] - v0[None]
+                uu = (tv * p).sum(-1) * idet
+                q = np.cross(tv, e1[None, :, :])
+                vv = (dirs[:, None, :] * q).sum(-1) * idet
+                tt = (e2[None] * q).sum(-1) * idet
+                ok = (det != 0) & (tt >= 0) & (uu >= 0) & (vv >= 0) & (1 - uu - vv >= 0)
+                tt = np.where(ok, tt, np.inf)
+                best = np.minimum(best, tt.min(axis=1))
+    return visits, leaves, tri_tests
+
+
+def run(K, mode, o, dirs, t0, sample=4):
+    n = o.shape[0]
+    if mode != "raw":
+        sb = np.asarray(static.scene_bounds, np.float32)
+        cell = np.clip(
+            (o - sb[0:3]) / np.maximum(sb[3:6] - sb[0:3], 1e-6) * 7.999, 0, 7.999
+        ).astype(np.int64)
+        octant = (dirs[:, 0] > 0) + 2 * (dirs[:, 1] > 0) + 4 * (dirs[:, 2] > 0)
+        if mode == "sortdir":
+            # higher-resolution direction key: octant + secondary dir bits
+            ad = np.abs(dirs)
+            axis = np.argmax(ad, axis=1)
+            key = ((octant * 8 + cell[:, 0]) * 8 + cell[:, 1]) * 8 + cell[:, 2]
+            key = key * 4 + axis
+        else:
+            key = ((octant * 8 + cell[:, 0]) * 8 + cell[:, 1]) * 8 + cell[:, 2]
+        key = np.where(t0 > -1e37, key, 1 << 24)
+        perm = np.argsort(key, kind="stable")
+        o, dirs, t0 = o[perm], dirs[perm], t0[perm]
+    tot_v = tot_l = tot_t = 0
+    npk = 0
+    dead = 0
+    for s in range(0, n - K + 1, K * sample):
+        sl = slice(s, s + K)
+        if not (t0[sl] > -1e37).any():
+            dead += 1
+            continue
+        v, l, tt = sim_packet(o[sl], dirs[sl], t0[sl])
+        tot_v += v
+        tot_l += l
+        tot_t += tt
+        npk += 1
+    if npk == 0:
+        return None
+    vreg = max(K, 1024) / K  # lane work per ray scales with ceil to a VREG
+    work = (tot_v / npk * 8 * 25 + tot_l / npk * leaf_k * 45) * vreg / K
+    return tot_v / npk, tot_l / npk, tot_t / npk, work, npk, dead
+
+
+Ks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [2048, 1024, 512, 256]
+modes = ["raw", "sort", "sortdir"]
+print(f"{'b':>2} {'K':>5} {'mode':>7} {'visits':>8} {'leaves':>8} "
+      f"{'tritst':>8} {'work/ray':>9}")
+for b in range(NB):
+    o, dirs, t0 = d[f"o{b}"], d[f"d{b}"], d[f"t{b}"]
+    for K in Ks:
+        for mode in modes:
+            r = run(K, mode, o, dirs, t0)
+            if r is None:
+                continue
+            v, l, tt, w, npk, dead = r
+            print(f"{b:>2} {K:>5} {mode:>7} {v:>8.1f} {l:>8.1f} {tt:>8.0f} "
+                  f"{w:>9.1f}  ({npk} pk, {dead} dead)", flush=True)
