@@ -409,6 +409,211 @@ def collapse_wide(bvh: FlatBVH, leaf_k: int, width: int = WIDE_W) -> WideBVH:
     )
 
 
+@dataclass
+class StreamBVH:
+    """Two-level split of a WideBVH for meshes beyond the on-chip budget.
+
+    The TOP tree (every wide node whose subtree exceeds the per-subtree
+    budget) stays SMEM-resident during traversal; SUBTREES (uniformly
+    padded blocks of `sub_nodes` wide nodes + `sub_tris` triangle rows)
+    live in HBM and are DMA-streamed into a double-buffered on-chip cache
+    when a packet reaches them (ops/traverse_pallas.py streaming kernels).
+    Top child links: >= 0 top node id, -1 empty, -(2+s) = subtree s.
+    Subtree-local links/cuts index within the block; global triangle id =
+    tri_base[s] + local id.  Same global triangle order as the WideBVH —
+    physics identical (reference: src/pathtrace.cu:236-279 handles
+    arbitrary mesh sizes from device memory; this is the TPU equivalent).
+    """
+
+    # top tree, WideBVH-compatible per-node layout
+    top_bmin: np.ndarray    # (T, 8, 3) f32, NaN = empty
+    top_bmax: np.ndarray    # (T, 8, 3) f32
+    top_link: np.ndarray    # (T, 8) i32: >=0 top node, -1 empty, -(2+s) sub
+    top_perm: np.ndarray    # (T, 8) i32 packed per-octant orders
+    # subtree blocks
+    sub_bmin: np.ndarray    # (n_sub, S, 8, 3) f32
+    sub_bmax: np.ndarray    # (n_sub, S, 8, 3) f32
+    sub_link: np.ndarray    # (n_sub, S, 8) i32: >=0 local node, -1 leaf/empty
+    sub_start: np.ndarray   # (n_sub, S, 8) i32 local tri cut start
+    sub_end: np.ndarray     # (n_sub, S, 8) i32
+    sub_perm: np.ndarray    # (n_sub, S, 8) i32
+    tri_base: np.ndarray    # (n_sub,) i32 global id of the block's first tri
+    tri_count: np.ndarray   # (n_sub,) i32
+    num_top: int
+    num_sub: int
+    sub_nodes: int          # S: node slots per block
+    sub_tris: int           # Tmax: triangle rows per block
+    leaf_k: int
+
+
+def partition_stream(w: WideBVH, sub_nodes: int = 256,
+                     sub_tris: int = 4096) -> StreamBVH:
+    """Split a WideBVH at the maximal frontier of subtrees that fit the
+    (sub_nodes, sub_tris) block budget; everything above stays top."""
+    M = w.num_nodes
+    # subtree node counts + tri spans per wide node (children DFS)
+    size = np.ones(M, np.int64)
+    lo = np.full(M, np.iinfo(np.int64).max, np.int64)
+    hi = np.zeros(M, np.int64)
+    order = []
+    stack = [0]
+    seen = np.zeros(M, bool)
+    while stack:  # postorder via two-phase stack
+        nid = stack.pop()
+        if seen[nid]:
+            order.append(nid)
+            continue
+        seen[nid] = True
+        stack.append(nid)
+        for c in range(8):
+            ln = int(w.child_link[nid, c])
+            if ln >= 0:
+                stack.append(ln)
+    for nid in order:
+        for c in range(8):
+            ln = int(w.child_link[nid, c])
+            if ln >= 0:
+                size[nid] += size[ln]
+                lo[nid] = min(lo[nid], lo[ln])
+                hi[nid] = max(hi[nid], hi[ln])
+            elif w.child_end[nid, c] > w.child_start[nid, c]:
+                lo[nid] = min(lo[nid], int(w.child_start[nid, c]))
+                hi[nid] = max(hi[nid], int(w.child_end[nid, c]))
+
+    def fits(nid: int) -> bool:
+        return size[nid] <= sub_nodes and hi[nid] - lo[nid] <= sub_tris
+
+    # top-down: collect top nodes and subtree roots (wide-node ids);
+    # a leaf-cut child of a top node becomes a one-node pseudo-subtree
+    top_ids: list[int] = []
+    sub_roots: list[tuple[int, int]] = []  # (wide node id, -1) or
+    # (top node id, child slot) for wrapped leaf cuts
+    top_of: dict[int, int] = {}
+    sub_of: dict[tuple[int, int], int] = {}
+    queue = [0]
+    while queue:
+        nid = queue.pop()
+        top_of[nid] = len(top_ids)
+        top_ids.append(nid)
+        for c in range(8):
+            ln = int(w.child_link[nid, c])
+            if ln >= 0:
+                if fits(ln):
+                    sub_of[(ln, -1)] = len(sub_roots)
+                    sub_roots.append((ln, -1))
+                else:
+                    queue.append(ln)
+            elif w.child_end[nid, c] > w.child_start[nid, c]:
+                sub_of[(nid, c)] = len(sub_roots)
+                sub_roots.append((nid, c))
+
+    T = len(top_ids)
+    n_sub = len(sub_roots)
+    top_bmin = np.full((T, 8, 3), np.nan, np.float32)
+    top_bmax = np.full((T, 8, 3), np.nan, np.float32)
+    top_link = np.full((T, 8), -1, np.int32)
+    top_perm = np.zeros((T, 8), np.int32)
+    for t, nid in enumerate(top_ids):
+        top_bmin[t] = w.child_bmin[nid]
+        top_bmax[t] = w.child_bmax[nid]
+        top_perm[t] = w.perm[nid]
+        for c in range(8):
+            ln = int(w.child_link[nid, c])
+            if ln >= 0:
+                top_link[t, c] = (
+                    top_of[ln] if ln in top_of else -(2 + sub_of[(ln, -1)])
+                )
+            elif w.child_end[nid, c] > w.child_start[nid, c]:
+                top_link[t, c] = -(2 + sub_of[(nid, c)])
+
+    sub_bmin = np.full((n_sub, sub_nodes, 8, 3), np.nan, np.float32)
+    sub_bmax = np.full((n_sub, sub_nodes, 8, 3), np.nan, np.float32)
+    sub_link = np.full((n_sub, sub_nodes, 8), -1, np.int32)
+    sub_start = np.zeros((n_sub, sub_nodes, 8), np.int32)
+    sub_end = np.zeros((n_sub, sub_nodes, 8), np.int32)
+    sub_perm = np.zeros((n_sub, sub_nodes, 8), np.int32)
+    tri_base = np.zeros(n_sub, np.int32)
+    tri_count = np.zeros(n_sub, np.int32)
+    for s, (nid, slot) in enumerate(sub_roots):
+        if slot >= 0:
+            # wrapped leaf cut: one local node with a single leaf child
+            st, en = int(w.child_start[nid, slot]), int(w.child_end[nid, slot])
+            tri_base[s] = st
+            tri_count[s] = en - st
+            sub_bmin[s, 0, 0] = w.child_bmin[nid, slot]
+            sub_bmax[s, 0, 0] = w.child_bmax[nid, slot]
+            sub_start[s, 0, 0] = 0
+            sub_end[s, 0, 0] = en - st
+            continue
+        base = int(lo[nid])
+        tri_base[s] = base
+        tri_count[s] = int(hi[nid]) - base
+        local_of = {nid: 0}
+        ids = [nid]
+        qi = 0
+        while qi < len(ids):
+            cur = ids[qi]
+            for c in range(8):
+                ln = int(w.child_link[cur, c])
+                if ln >= 0 and ln not in local_of:
+                    local_of[ln] = len(ids)
+                    ids.append(ln)
+            qi += 1
+        assert len(ids) <= sub_nodes
+        for li, cur in enumerate(ids):
+            sub_bmin[s, li] = w.child_bmin[cur]
+            sub_bmax[s, li] = w.child_bmax[cur]
+            sub_perm[s, li] = w.perm[cur]
+            for c in range(8):
+                ln = int(w.child_link[cur, c])
+                if ln >= 0:
+                    sub_link[s, li, c] = local_of[ln]
+                elif w.child_end[cur, c] > w.child_start[cur, c]:
+                    sub_start[s, li, c] = int(w.child_start[cur, c]) - base
+                    sub_end[s, li, c] = int(w.child_end[cur, c]) - base
+
+    return StreamBVH(
+        top_bmin, top_bmax, top_link, top_perm,
+        sub_bmin, sub_bmax, sub_link, sub_start, sub_end, sub_perm,
+        tri_base, tri_count, T, n_sub, sub_nodes, sub_tris, w.leaf_k,
+    )
+
+
+def validate_stream_bvh(s: StreamBVH, w: WideBVH, num_tris: int) -> list[str]:
+    """Invariants: every wide node lands in top xor exactly one subtree;
+    leaf cuts cover [0, num_tris) exactly once; links well-formed."""
+    errors = []
+    covered = np.zeros(num_tris, np.int64)
+    for t in range(s.num_top):
+        for c in range(8):
+            ln = s.top_link[t, c]
+            if ln >= s.num_top:
+                errors.append(f"top {t} child {c} link {ln} out of range")
+            if ln < -1 and -(ln + 2) >= s.num_sub:
+                errors.append(f"top {t} child {c} sub {-(ln+2)} out of range")
+    for si in range(s.num_sub):
+        base = int(s.tri_base[si])
+        for li in range(s.sub_nodes):
+            for c in range(8):
+                ln = s.sub_link[si, li, c]
+                if ln >= 0:
+                    if ln >= s.sub_nodes:
+                        errors.append(f"sub {si} node {li} link oob")
+                elif s.sub_end[si, li, c] > s.sub_start[si, li, c]:
+                    st = base + int(s.sub_start[si, li, c])
+                    en = base + int(s.sub_end[si, li, c])
+                    if en - st > s.leaf_k:
+                        errors.append(f"sub {si} cut > leaf_k")
+                    if en > num_tris:
+                        errors.append(f"sub {si} cut beyond tris")
+                    else:
+                        covered[st:en] += 1
+    if num_tris and not np.all(covered == 1):
+        bad = int((covered != 1).sum())
+        errors.append(f"{bad} triangles not covered exactly once")
+    return errors
+
+
 def validate_wide_bvh(w: WideBVH, num_tris: int) -> list[str]:
     """Invariants: leaf ranges partition [0, T); links form a tree; every
     child is leaf xor internal xor empty; perms are permutations."""

@@ -272,8 +272,11 @@ def make_render_iteration(
         if mode == SampleMode.DIRECT_LI:
             # reference: src/pathtrace.cu:348-403 — one NEE bounce, then stop
             li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
-            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs)
-            rays_traced = rays_traced + jnp.sum((alive & ~is_light).astype(jnp.int32))
+            # delta (dielectric) lanes: bsdf_eval ≡ 0, so their NEE term is
+            # zero — skip their shadow rays entirely (output-identical)
+            nee_on = alive & ~is_light & ~is_delta
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=nee_on)
+            rays_traced = rays_traced + jnp.sum(nee_on.astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             bsdf = bsdf_eval(params, nrm, state.d, wi, present=static.material_types)
             nee = (
@@ -323,7 +326,9 @@ def make_render_iteration(
         # --- NEE term (MIS only, non-delta) ---
         if mode == SampleMode.MIS:
             li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
-            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs)
+            # the NEE term is masked to cont & ~is_delta below; skipping the
+            # other lanes' shadow rays in the kernel is output-identical
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=cont & ~is_delta)
             rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             b_pdf = pdf_eval(params, nrm, state.d, wi, present=static.material_types)

@@ -102,7 +102,7 @@ def _emit_color_by_geom(flat: FlatScene, static: SceneStatic, geom_idx):
 def light_sample(
     flat: FlatScene, static: SceneStatic, view_pos, rands,
     use_pallas: bool = False, include_env: bool = False,
-    use_bvh: bool = True, knobs: tuple = (2, 4, 8),
+    use_bvh: bool = True, knobs: tuple = (2, 4, 8), enabled=None,
 ) -> LightSampleRecord:
     """Sample one light per ray, with occlusion.
 
@@ -182,9 +182,13 @@ def light_sample(
         emit = jnp.where(em, env_le, emit)
 
     ray_dir = m.normalize(light_pos - view_pos)
+    # `enabled` masks lanes whose NEE term is provably zero downstream
+    # (dead rays, light hits, delta BSDFs): their shadow rays are never
+    # traced — sorted pools cluster them into packets that exit at the root
+    occ_on = pdf > 0.0 if enabled is None else (pdf > 0.0) & enabled
     occ = occlusion_test(
         flat, static, view_pos + 1e-5 * ray_dir, ray_dir, light_pos,
-        enabled=pdf > 0.0, use_pallas=use_pallas, use_bvh=use_bvh, knobs=knobs,
+        enabled=occ_on, use_pallas=use_pallas, use_bvh=use_bvh, knobs=knobs,
     )
     pdf = jnp.where(occ, -1.0, pdf)
     emit = jnp.where(occ[..., None], 0.0, emit)

@@ -171,19 +171,28 @@ def _brute_closest(flat: FlatScene, o, d, t_min, tri, u, v):
     )
 
 
+def packet_mode(static: SceneStatic) -> str | None:
+    """Which Pallas traversal path a triangle scene takes:
+
+    - "resident": the whole wide tree + triangles fit on-chip
+      (SMEM ~1 MB / VMEM 8 MB budgets; traversal stack and leaf queue are
+      sized to the node count, so there is no depth cliff)
+    - "stream": two-level split — SMEM top tree + HBM-streamed subtree
+      blocks (scene/flatscene.py build_stream_tables decided it fits)
+    - None: no Pallas path (XLA lockstep walk fallback)
+    """
+    from pathtracer_tpu.scene.flatscene import resident_tables_fit
+
+    if resident_tables_fit(static.wide_nodes, static.num_tris):
+        return "resident"
+    if static.stream_subs > 0:
+        return "stream"
+    return None
+
+
 def _packet_tables_fit(flat: FlatScene, static: SceneStatic) -> bool:
-    """Packet kernels keep the wide-node scalars + stack + leaf queue in
-    SMEM (~1 MB budget) and triangles in VMEM; scenes beyond those budgets
-    fall back to the XLA walk.  (The traversal stack and leaf queue are
-    sized to the node count — every node enters each at most once — so
-    there is no depth cliff.)"""
-    nt = flat.tri_pk.shape[0]
-    m = static.wide_nodes
-    smem_bytes = (
-        flat.bvh_wf.shape[0] + flat.bvh_wi.shape[0] + flat.bvh_wp.shape[0]
-        + 9 * m + 64
-    ) * 4
-    return smem_bytes <= 900_000 and nt * 48 <= 8_000_000
+    """Back-compat gate: is ANY Pallas packet path available?"""
+    return packet_mode(static) is not None
 
 
 DEAD_T = jnp.float32(-FLT_MAX)
@@ -213,14 +222,16 @@ def closest_hit(
     tangent = jnp.zeros((N, 3), jnp.float32)
     bitangent = jnp.zeros((N, 3), jnp.float32)
 
+    mode = packet_mode(static) if (static.num_tris > 0 and use_pallas) else None
     if not use_bvh:
-        use_pallas = False
-    if static.num_tris > 0 and use_pallas:
-        use_pallas = _packet_tables_fit(flat, static)
+        mode = None
     if static.num_tris > 0 and not use_bvh:
         t_min, tri, u, v = _brute_closest(flat, o, d, t_min, tri, u, v)
-    elif static.num_tris > 0 and use_pallas:
-        from pathtracer_tpu.ops.traverse_pallas import closest_hit_wbvh_pallas
+    elif mode is not None:
+        from pathtracer_tpu.ops.traverse_pallas import (
+            closest_hit_stream_pallas,
+            closest_hit_wbvh_pallas,
+        )
 
         # dead lanes get the DEAD_T sentinel so whole-dead packets exit at
         # the root; likewise rays that cannot reach the (triangle) root box
@@ -234,11 +245,22 @@ def closest_hit(
         )
         reachable = rb_hit & (rb_enter <= t_init)
         t_init = jnp.where(reachable, t_init, DEAD_T)
-        t_pk, tri_pk, u_pk, v_pk = closest_hit_wbvh_pallas(
-            flat.bvh_wf, flat.bvh_wi, flat.bvh_wp, flat.tri_pk, o, d, t_init,
-            leaf_k=static.wide_leaf_k,
-            p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
-        )
+        if mode == "stream":
+            t_pk, tri_pk, u_pk, v_pk = closest_hit_stream_pallas(
+                flat.str_topf, flat.str_topl, flat.str_topp,
+                flat.str_subf, flat.str_subi, flat.str_subp, flat.str_subt,
+                flat.str_base, o, d, t_init,
+                leaf_k=static.wide_leaf_k,
+                sub_nodes=static.stream_sub_nodes,
+                sub_tris=static.stream_sub_tris,
+                p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
+            )
+        else:
+            t_pk, tri_pk, u_pk, v_pk = closest_hit_wbvh_pallas(
+                flat.bvh_wf, flat.bvh_wi, flat.bvh_wp, flat.tri_pk, o, d, t_init,
+                leaf_k=static.wide_leaf_k,
+                p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
+            )
         t_min = jnp.where(tri_pk >= 0, t_pk, t_min)
         tri, u, v = tri_pk, u_pk, v_pk
     elif static.num_tris > 0:
@@ -260,7 +282,9 @@ def closest_hit(
         uv = jnp.where(gm, jnp.clip(uv_tri, 0.0, 1.0), uv)
         tangent = jnp.where(gm, trow[:, 24:27], tangent)
         bitangent = jnp.where(gm, trow[:, 27:30], bitangent)
-        geom = jnp.where(got_tri, flat.tri_geom[tidx], geom)
+        # geom id from the gathered row (col 30) — not a tri_geom[tidx]
+        # gather (tiny-table 1D gathers serialize on TPU)
+        geom = jnp.where(got_tri, trow[:, 30].astype(jnp.int32), geom)
 
     return Hit(t_min, geom, tri, point, normal, uv, tangent, bitangent)
 
@@ -291,10 +315,10 @@ def occlusion_test(
         blocked = valid & (t > 0.0) & (min_t - 1e-5 > t) & (jnp.abs(t - min_t) > 1e-2)
         occluded = occluded | blocked
 
+    mode = packet_mode(static) if (static.num_tris > 0 and use_pallas) else None
     if not use_bvh:
-        use_pallas = False
-    if static.num_tris > 0 and use_pallas:
-        use_pallas = _packet_tables_fit(flat, static)
+        mode = None
+    use_pallas = mode is not None
     if static.num_tris > 0 and not use_bvh:
         # USE_BVH=0 shadow sweep.  The reference's no-BVH occlusion branch
         # `return false`s on the first hit (reference: src/lightSample.h:125-135)
@@ -319,7 +343,10 @@ def occlusion_test(
             0, flat.tri_data.shape[0], brute_body, occluded
         )
     if static.num_tris > 0 and use_pallas:
-        from pathtracer_tpu.ops.traverse_pallas import occlusion_wbvh_pallas
+        from pathtracer_tpu.ops.traverse_pallas import (
+            occlusion_stream_pallas,
+            occlusion_wbvh_pallas,
+        )
 
         min_t_eff = min_t if enabled is None else jnp.where(enabled, min_t, DEAD_T)
         rb = static.tri_root_box
@@ -328,11 +355,22 @@ def occlusion_test(
         )
         reachable = rb_hit & (rb_enter <= min_t_eff)
         min_t_eff = jnp.where(reachable, min_t_eff, DEAD_T)
-        occluded = occlusion_wbvh_pallas(
-            flat.bvh_wf, flat.bvh_wi, flat.tri_pk, ori, dir, min_t_eff, occluded,
-            leaf_k=static.wide_leaf_k,
-            p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
-        )
+        if mode == "stream":
+            occluded = occlusion_stream_pallas(
+                flat.str_topf, flat.str_topl, flat.str_topp,
+                flat.str_subf, flat.str_subi, flat.str_subp, flat.str_subt,
+                flat.str_base, ori, dir, min_t_eff, occluded,
+                leaf_k=static.wide_leaf_k,
+                sub_nodes=static.stream_sub_nodes,
+                sub_tris=static.stream_sub_tris,
+                p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
+            )
+        else:
+            occluded = occlusion_wbvh_pallas(
+                flat.bvh_wf, flat.bvh_wi, flat.tri_pk, ori, dir, min_t_eff, occluded,
+                leaf_k=static.wide_leaf_k,
+                p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
+            )
         return occluded
 
     if static.num_tris > 0:

@@ -475,6 +475,618 @@ def closest_hit_wbvh_pallas(
     return flat(t), flat(tri), flat(u), flat(v)
 
 
+# ---------------------------------------------------------------------------
+# STREAMING wide-BVH traversal — arbitrary mesh sizes (accel/bvh.py
+# partition_stream).  The TOP tree stays SMEM-resident; SUBTREE blocks
+# (nodes + their contiguous triangle rows) are DMA-streamed HBM→on-chip
+# through an n_buf-deep ring while the packet walks the previous block —
+# the TPU equivalent of the reference traversing arbitrary meshes from
+# device global memory (reference: src/pathtrace.cu:236-279).  Physics
+# identical to the resident kernels: same wide tree, same triangle order.
+# ---------------------------------------------------------------------------
+
+STREAM_BUFS = 2  # subtree ring depth (double buffering)
+
+
+def _sub_walk_closest(
+    leaf_k, p_nodes, q_leaves, S, Tmax,
+    octant, gbase, slot,
+    ox, oy, oz, dx, dy, dz, idx, idy, idz,
+    bwf_s, bwi_s, bwp_s, btri_v,
+    t_ref, tri_out_ref, u_ref, v_ref, lstack_ref, leafq_ref,
+):
+    """Full local walk of one DMA'd subtree block (same lap structure as
+    the resident closest kernel, with block-local tables and tri ids
+    rebased to gbase)."""
+    base_f = slot * (S * 48)
+    base_i = slot * (S * 24)
+    base_p = slot * (S * 8)
+    tri0 = slot * (Tmax * 12)
+    nt1 = Tmax - 1
+
+    lstack_ref[0] = 0
+
+    def lap(state):
+        sp, lq = state
+        best_t = t_ref[:]
+        new_sp = jnp.maximum(sp - p_nodes, 0)
+        new_lq = lq
+        popped = [
+            (
+                jnp.clip(lstack_ref[jnp.maximum(sp - 1 - j, 0)], 0, S - 1),
+                sp - 1 - j >= 0,
+            )
+            for j in range(p_nodes)
+        ]
+        for j in range(p_nodes - 1, -1, -1):
+            node, node_valid = popped[j]
+            perm = bwp_s[base_p + node * 8 + octant]
+            nf_b = base_f + node * 48
+            ni_b = base_i + node * 24
+            for rank in range(7, -1, -1):
+                cslot = (perm >> (3 * rank)) & 7
+                bf = nf_b + cslot * 6
+                nf = [bwf_s[bf + k] for k in range(6)]
+                link = bwi_s[ni_b + cslot]
+                hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
+                active = hit & (t_enter <= best_t)
+                any_c = jnp.any(active) & node_valid
+                is_leaf = link < 0
+                lstack_ref[new_sp] = link
+                new_sp = new_sp + (any_c & ~is_leaf).astype(jnp.int32)
+                leafq_ref[new_lq] = node * 8 + cslot
+                new_lq = new_lq + (any_c & is_leaf).astype(jnp.int32)
+
+        best_tri = tri_out_ref[:]
+        best_u = u_ref[:]
+        best_v = v_ref[:]
+        for q in range(q_leaves):
+            qidx = new_lq - 1 - q
+            leaf_valid = qidx >= 0
+            lslot = leafq_ref[jnp.maximum(qidx, 0)]
+            lnode = lslot >> 3
+            lc = lslot & 7
+            bf = base_f + lnode * 48 + lc * 6
+            nf = [bwf_s[bf + k] for k in range(6)]
+            s = bwi_s[base_i + lnode * 24 + 8 + lc]
+            e = bwi_s[base_i + lnode * 24 + 16 + lc]
+            hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
+            active = hit & (t_enter <= best_t) & leaf_valid
+            for k in range(leaf_k):
+                lid = jnp.minimum(s + k, nt1)
+                trow = [btri_v[tri0 + lid * 12 + c] for c in range(9)]
+                th, tt, tu, tv = _moller_trumbore(trow, ox, oy, oz, dx, dy, dz)
+                take = active & th & (tt < best_t) & (s + k < e)
+                best_t = jnp.where(take, tt, best_t)
+                best_tri = jnp.where(take, gbase + lid, best_tri)
+                best_u = jnp.where(take, tu, best_u)
+                best_v = jnp.where(take, tv, best_v)
+        t_ref[:] = best_t
+        tri_out_ref[:] = best_tri
+        u_ref[:] = best_u
+        v_ref[:] = best_v
+        return new_sp, jnp.maximum(new_lq - q_leaves, 0)
+
+    jax.lax.while_loop(
+        lambda st: (st[0] > 0) | (st[1] > 0), lap, (jnp.int32(1), jnp.int32(0))
+    )
+
+
+def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
+                                S: int, Tmax: int, n_buf: int = STREAM_BUFS):
+    def kernel(
+        octs, tri_base_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
+        topf_h, topl_h, topp_h, subf_h, subi_h, subp_h, subt_h,
+        t_ref_o, tri_ref_o, u_ref_o, v_ref_o,
+        tstack_ref, subq_ref, lstack_ref, leafq_ref,
+        topf_s, topl_s, topp_s,
+        bwf_s, bwi_s, bwp_s, btri_v,
+        sem_top, sem_ring,
+    ):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            copies = [
+                pltpu.make_async_copy(topf_h, topf_s, sem_top.at[0]),
+                pltpu.make_async_copy(topl_h, topl_s, sem_top.at[1]),
+                pltpu.make_async_copy(topp_h, topp_s, sem_top.at[2]),
+            ]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+
+        octant = octs[pl.program_id(0)]
+        t_ref = t_ref_o.at[0]
+        tri_out_ref = tri_ref_o.at[0]
+        u_ref = u_ref_o.at[0]
+        v_ref = v_ref_o.at[0]
+        ox, oy, oz = ox_ref.at[0][:], oy_ref.at[0][:], oz_ref.at[0][:]
+        dx, dy, dz = dx_ref.at[0][:], dy_ref.at[0][:], dz_ref.at[0][:]
+        idx = 1.0 / dx
+        idy = 1.0 / dy
+        idz = 1.0 / dz
+
+        t_ref[:] = t0_ref.at[0][:]
+        tri_out_ref[:] = jnp.full_like(tri_out_ref[:], -1)
+        u_ref[:] = jnp.zeros_like(u_ref[:])
+        v_ref[:] = jnp.zeros_like(v_ref[:])
+
+        tstack_ref[0] = 0
+        T1 = topf_s.shape[0] // 48 - 1
+
+        def start_dma(ds):
+            # block sources are FLAT 1D (nodes) / row-aligned 2D (tris):
+            # Mosaic rejects dynamic single-row slices of 2D memrefs
+            s_id = subq_ref[ds]
+            slot = jax.lax.rem(ds, n_buf)
+            pltpu.make_async_copy(
+                subf_h.at[pl.ds(s_id * (S * 48), S * 48)],
+                bwf_s.at[pl.ds(slot * (S * 48), S * 48)],
+                sem_ring.at[slot, 0],
+            ).start()
+            pltpu.make_async_copy(
+                subi_h.at[pl.ds(s_id * (S * 24), S * 24)],
+                bwi_s.at[pl.ds(slot * (S * 24), S * 24)],
+                sem_ring.at[slot, 1],
+            ).start()
+            pltpu.make_async_copy(
+                subp_h.at[pl.ds(s_id * (S * 8), S * 8)],
+                bwp_s.at[pl.ds(slot * (S * 8), S * 8)],
+                sem_ring.at[slot, 2],
+            ).start()
+            pltpu.make_async_copy(
+                subt_h.at[pl.ds(s_id * (Tmax * 12), Tmax * 12)],
+                btri_v.at[pl.ds(slot * (Tmax * 12), Tmax * 12)],
+                sem_ring.at[slot, 3],
+            ).start()
+
+        def wait_dma(slot):
+            # the copies completed into this ring slot (matching starts)
+            pltpu.make_async_copy(
+                subf_h.at[pl.ds(0, S * 48)], bwf_s.at[pl.ds(0, S * 48)],
+                sem_ring.at[slot, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                subi_h.at[pl.ds(0, S * 24)], bwi_s.at[pl.ds(0, S * 24)],
+                sem_ring.at[slot, 1],
+            ).wait()
+            pltpu.make_async_copy(
+                subp_h.at[pl.ds(0, S * 8)], bwp_s.at[pl.ds(0, S * 8)],
+                sem_ring.at[slot, 2],
+            ).wait()
+            pltpu.make_async_copy(
+                subt_h.at[pl.ds(0, Tmax * 12)], btri_v.at[pl.ds(0, Tmax * 12)],
+                sem_ring.at[slot, 3],
+            ).wait()
+
+        def lap(state):
+            tsp, shead, stail, ds = state
+            best_t = t_ref[:]
+
+            # --- top phase: pop up to p_nodes top nodes ---
+            new_sp = jnp.maximum(tsp - p_nodes, 0)
+            new_tail = stail
+            popped = [
+                (
+                    jnp.clip(tstack_ref[jnp.maximum(tsp - 1 - j, 0)], 0, T1),
+                    tsp - 1 - j >= 0,
+                )
+                for j in range(p_nodes)
+            ]
+            for j in range(p_nodes - 1, -1, -1):
+                node, node_valid = popped[j]
+                perm = topp_s[node * 8 + octant]
+                for rank in range(7, -1, -1):
+                    cslot = (perm >> (3 * rank)) & 7
+                    bf = node * 48 + cslot * 6
+                    nf = [topf_s[bf + k] for k in range(6)]
+                    link = topl_s[node * 8 + cslot]
+                    hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
+                    active = hit & (t_enter <= best_t)
+                    any_c = jnp.any(active) & node_valid
+                    is_sub = link < -1
+                    tstack_ref[new_sp] = link
+                    new_sp = new_sp + (any_c & (link >= 0)).astype(jnp.int32)
+                    subq_ref[new_tail] = -(link + 2)
+                    new_tail = new_tail + (any_c & is_sub).astype(jnp.int32)
+
+            # --- DMA phase: keep up to n_buf blocks in flight ---
+            def dma_body(d):
+                start_dma(d)
+                return d + 1
+
+            ds = jax.lax.while_loop(
+                lambda d: (d < new_tail) & (d - shead < n_buf), dma_body, ds
+            )
+
+            # --- walk phase: drain ONE ready subtree ---
+            new_head = shead
+
+            @pl.when(shead < ds)
+            def _():
+                slot = jax.lax.rem(shead, n_buf)
+                wait_dma(slot)
+                s_id = subq_ref[shead]
+                _sub_walk_closest(
+                    leaf_k, p_nodes, q_leaves, S, Tmax,
+                    octant, tri_base_ref[s_id], slot,
+                    ox, oy, oz, dx, dy, dz, idx, idy, idz,
+                    bwf_s, bwi_s, bwp_s, btri_v,
+                    t_ref, tri_out_ref, u_ref, v_ref, lstack_ref, leafq_ref,
+                )
+
+            new_head = shead + (shead < ds).astype(jnp.int32)
+            return new_sp, new_head, new_tail, ds
+
+        alive_any = jnp.any(t0_ref.at[0][:] >= 0.0)
+        jax.lax.while_loop(
+            lambda st: (st[0] > 0) | (st[1] < st[2]),
+            lap,
+            (
+                jnp.where(alive_any, jnp.int32(1), jnp.int32(0)),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            ),
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "leaf_k", "sub_nodes", "sub_tris", "interpret", "p_nodes", "q_leaves",
+    "rows"))
+def closest_hit_stream_pallas(
+    topf, topl, topp, subf, subi, subp, subt, tri_base,
+    o, d, t_init, leaf_k: int, sub_nodes: int, sub_tris: int,
+    interpret: bool = False,
+    p_nodes: int = P_NODES, q_leaves: int = Q_LEAVES, rows: int = TILE_ROWS,
+):
+    """Streaming wide-BVH packet closest-hit for meshes beyond the
+    SMEM/VMEM-resident budget.  Table formats: accel/bvh.py StreamBVH,
+    flattened by scene/flatscene.py build_stream_tables."""
+    n = o.shape[0]
+    tile = rows * TILE_LANES
+    ox, _ = _pad_pool(o[:, 0], 0.0, tile)
+    oy, _ = _pad_pool(o[:, 1], 0.0, tile)
+    oz, _ = _pad_pool(o[:, 2], 0.0, tile)
+    dx, _ = _pad_pool(d[:, 0], 1.0, tile)
+    dy, _ = _pad_pool(d[:, 1], 1.0, tile)
+    dz, _ = _pad_pool(d[:, 2], 1.0, tile)
+    t0, _ = _pad_pool(t_init, -FLT_MAX, tile)
+
+    num_tiles = ox.shape[0] // tile
+    octs = _tile_octants(d, num_tiles, tile)
+    S, Tmax = sub_nodes, sub_tris
+    n_sub = subf.shape[0] // (S * 48)
+    T = topf.shape[0] // 48
+    B = STREAM_BUFS
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # octs, tri_base
+        grid=(num_tiles,),
+        in_specs=[
+            *[
+                pl.BlockSpec((1, rows, TILE_LANES), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(7)
+            ],
+            *[pl.BlockSpec(memory_space=pl.ANY) for _ in range(3)],
+            # subtree tables MUST stay in HBM: the kernel DMAs dynamic
+            # single-row slices, which Mosaic rejects on a VMEM-tiled
+            # memref (sublane-alignment) if ANY promotes them on-chip
+            *[pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(4)],
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, TILE_LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((T + 8 * P_NODES + 8,), jnp.int32),        # top stack
+            pltpu.SMEM((n_sub + 8 * P_NODES + 8,), jnp.int32),    # sub queue
+            pltpu.SMEM((S + 8 * P_NODES + 8,), jnp.int32),        # local stack
+            pltpu.SMEM((S * 8 + 8 * P_NODES + 8,), jnp.int32),    # local leafq
+            pltpu.SMEM((T * 48,), jnp.float32),                   # top bounds
+            pltpu.SMEM((T * 8,), jnp.int32),                      # top links
+            pltpu.SMEM((T * 8,), jnp.int32),                      # top perms
+            pltpu.SMEM((B * S * 48,), jnp.float32),               # ring bounds
+            pltpu.SMEM((B * S * 24,), jnp.int32),                 # ring ints
+            pltpu.SMEM((B * S * 8,), jnp.int32),                  # ring perms
+            pltpu.SMEM((B * Tmax * 12,), jnp.float32),            # ring tris
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((B, 4)),
+        ],
+    )
+    shape1 = jax.ShapeDtypeStruct((num_tiles, rows, TILE_LANES), jnp.float32)
+    shapei = jax.ShapeDtypeStruct((num_tiles, rows, TILE_LANES), jnp.int32)
+    kernel = _make_stream_closest_kernel(leaf_k, p_nodes, q_leaves, S, Tmax)
+
+    t, tri, u, v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[shape1, shapei, shape1, shape1],
+        interpret=interpret,
+    )(
+        octs, tri_base,
+        _tiles(ox, rows), _tiles(oy, rows), _tiles(oz, rows),
+        _tiles(dx, rows), _tiles(dy, rows), _tiles(dz, rows), _tiles(t0, rows),
+        topf, topl, topp, subf, subi, subp, subt,
+    )
+    flat = lambda a: a.reshape(-1)[:n]
+    return flat(t), flat(tri), flat(u), flat(v)
+
+
+def _make_stream_occlusion_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
+                                  S: int, Tmax: int, n_buf: int = STREAM_BUFS):
+    def kernel(
+        octs, tri_base_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, mint_ref, occ0_ref,
+        topf_h, topl_h, topp_h, subf_h, subi_h, subp_h, subt_h,
+        occ_ref_o,
+        tstack_ref, subq_ref, lstack_ref, leafq_ref,
+        topf_s, topl_s, topp_s,
+        bwf_s, bwi_s, bwp_s, btri_v,
+        sem_top, sem_ring,
+    ):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            copies = [
+                pltpu.make_async_copy(topf_h, topf_s, sem_top.at[0]),
+                pltpu.make_async_copy(topl_h, topl_s, sem_top.at[1]),
+                pltpu.make_async_copy(topp_h, topp_s, sem_top.at[2]),
+            ]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+
+        occ_ref = occ_ref_o.at[0]
+        ox, oy, oz = ox_ref.at[0][:], oy_ref.at[0][:], oz_ref.at[0][:]
+        dx, dy, dz = dx_ref.at[0][:], dy_ref.at[0][:], dz_ref.at[0][:]
+        idx = 1.0 / dx
+        idy = 1.0 / dy
+        idz = 1.0 / dz
+        min_t = mint_ref.at[0][:]
+
+        occ_ref[:] = occ0_ref.at[0][:]
+        tstack_ref[0] = 0
+        T1 = topf_s.shape[0] // 48 - 1
+        nt1 = Tmax - 1
+
+        def start_dma(ds):
+            s_id = subq_ref[ds]
+            slot = jax.lax.rem(ds, n_buf)
+            pltpu.make_async_copy(
+                subf_h.at[pl.ds(s_id * (S * 48), S * 48)],
+                bwf_s.at[pl.ds(slot * (S * 48), S * 48)],
+                sem_ring.at[slot, 0],
+            ).start()
+            pltpu.make_async_copy(
+                subi_h.at[pl.ds(s_id * (S * 24), S * 24)],
+                bwi_s.at[pl.ds(slot * (S * 24), S * 24)],
+                sem_ring.at[slot, 1],
+            ).start()
+            pltpu.make_async_copy(
+                subt_h.at[pl.ds(s_id * (Tmax * 12), Tmax * 12)],
+                btri_v.at[pl.ds(slot * (Tmax * 12), Tmax * 12)],
+                sem_ring.at[slot, 3],
+            ).start()
+
+        def wait_dma(slot):
+            pltpu.make_async_copy(
+                subf_h.at[pl.ds(0, S * 48)], bwf_s.at[pl.ds(0, S * 48)],
+                sem_ring.at[slot, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                subi_h.at[pl.ds(0, S * 24)], bwi_s.at[pl.ds(0, S * 24)],
+                sem_ring.at[slot, 1],
+            ).wait()
+            pltpu.make_async_copy(
+                subt_h.at[pl.ds(0, Tmax * 12)], btri_v.at[pl.ds(0, Tmax * 12)],
+                sem_ring.at[slot, 3],
+            ).wait()
+
+        def sub_walk(slot):
+            base_f = slot * (S * 48)
+            base_i = slot * (S * 24)
+            tri0 = slot * (Tmax * 12)
+            lstack_ref[0] = 0
+
+            def llap(state):
+                sp, lq = state
+                occ = occ_ref[:]
+                cap = jnp.where(occ == 0, min_t, -FLT_MAX)
+                new_sp = jnp.maximum(sp - p_nodes, 0)
+                new_lq = lq
+                popped = [
+                    (
+                        jnp.clip(lstack_ref[jnp.maximum(sp - 1 - j, 0)], 0, S - 1),
+                        sp - 1 - j >= 0,
+                    )
+                    for j in range(p_nodes)
+                ]
+                for j in range(p_nodes - 1, -1, -1):
+                    node, node_valid = popped[j]
+                    nf_b = base_f + node * 48
+                    ni_b = base_i + node * 24
+                    for cslot in range(8):
+                        bf = nf_b + cslot * 6
+                        nf = [bwf_s[bf + k] for k in range(6)]
+                        link = bwi_s[ni_b + cslot]
+                        hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
+                        active = hit & (t_enter <= cap)
+                        any_c = jnp.any(active) & node_valid
+                        is_leaf = link < 0
+                        lstack_ref[new_sp] = link
+                        new_sp = new_sp + (any_c & ~is_leaf).astype(jnp.int32)
+                        leafq_ref[new_lq] = node * 8 + cslot
+                        new_lq = new_lq + (any_c & is_leaf).astype(jnp.int32)
+
+                for q in range(q_leaves):
+                    qidx = new_lq - 1 - q
+                    leaf_valid = qidx >= 0
+                    lslot = leafq_ref[jnp.maximum(qidx, 0)]
+                    lnode = lslot >> 3
+                    lc = lslot & 7
+                    bf = base_f + lnode * 48 + lc * 6
+                    nf = [bwf_s[bf + k] for k in range(6)]
+                    s = bwi_s[base_i + lnode * 24 + 8 + lc]
+                    e = bwi_s[base_i + lnode * 24 + 16 + lc]
+                    hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
+                    active = hit & (t_enter <= cap) & leaf_valid
+                    for k in range(leaf_k):
+                        lid = jnp.minimum(s + k, nt1)
+                        trow = [btri_v[tri0 + lid * 12 + c] for c in range(9)]
+                        th, tt, _, _ = _moller_trumbore(trow, ox, oy, oz, dx, dy, dz)
+                        blocked = (
+                            active & th & (min_t - 1e-5 > tt)
+                            & (jnp.abs(tt - min_t) > 1e-4) & (s + k < e)
+                        )
+                        occ = jnp.where(blocked, 1, occ)
+                occ_ref[:] = occ
+                return new_sp, jnp.maximum(new_lq - q_leaves, 0)
+
+            jax.lax.while_loop(
+                lambda st: (st[0] > 0) | (st[1] > 0), llap,
+                (jnp.int32(1), jnp.int32(0)),
+            )
+
+        def lap(state):
+            tsp, shead, stail, ds, _done = state
+            occ = occ_ref[:]
+            cap = jnp.where(occ == 0, min_t, -FLT_MAX)
+
+            new_sp = jnp.maximum(tsp - p_nodes, 0)
+            new_tail = stail
+            popped = [
+                (
+                    jnp.clip(tstack_ref[jnp.maximum(tsp - 1 - j, 0)], 0, T1),
+                    tsp - 1 - j >= 0,
+                )
+                for j in range(p_nodes)
+            ]
+            for j in range(p_nodes - 1, -1, -1):
+                node, node_valid = popped[j]
+                for cslot in range(8):
+                    bf = node * 48 + cslot * 6
+                    nf = [topf_s[bf + k] for k in range(6)]
+                    link = topl_s[node * 8 + cslot]
+                    hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
+                    active = hit & (t_enter <= cap)
+                    any_c = jnp.any(active) & node_valid
+                    is_sub = link < -1
+                    tstack_ref[new_sp] = link
+                    new_sp = new_sp + (any_c & (link >= 0)).astype(jnp.int32)
+                    subq_ref[new_tail] = -(link + 2)
+                    new_tail = new_tail + (any_c & is_sub).astype(jnp.int32)
+
+            ds = jax.lax.while_loop(
+                lambda d: (d < new_tail) & (d - shead < n_buf),
+                lambda d: (start_dma(d), d + 1)[1], ds
+            )
+
+            @pl.when(shead < ds)
+            def _():
+                wait_dma(jax.lax.rem(shead, n_buf))
+                sub_walk(jax.lax.rem(shead, n_buf))
+
+            new_head = shead + (shead < ds).astype(jnp.int32)
+            done = ~jnp.any(occ_ref[:] == 0)
+            return new_sp, new_head, new_tail, ds, done
+
+        alive_any = jnp.any(min_t >= 0.0)
+        jax.lax.while_loop(
+            lambda st: ((st[0] > 0) | (st[1] < st[2])) & ~st[4],
+            lap,
+            (
+                jnp.where(alive_any, jnp.int32(1), jnp.int32(0)),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+            ),
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "leaf_k", "sub_nodes", "sub_tris", "interpret", "p_nodes", "q_leaves",
+    "rows"))
+def occlusion_stream_pallas(
+    topf, topl, topp, subf, subi, subp, subt, tri_base,
+    o, d, min_t, occluded0, leaf_k: int, sub_nodes: int, sub_tris: int,
+    interpret: bool = False,
+    p_nodes: int = P_NODES, q_leaves: int = Q_LEAVES, rows: int = TILE_ROWS,
+):
+    """Streaming wide-BVH packet any-hit (shadow windows as the resident
+    kernel; reference: src/lightSample.h:89-136)."""
+    n = o.shape[0]
+    tile = rows * TILE_LANES
+    ox, _ = _pad_pool(o[:, 0], 0.0, tile)
+    oy, _ = _pad_pool(o[:, 1], 0.0, tile)
+    oz, _ = _pad_pool(o[:, 2], 0.0, tile)
+    dx, _ = _pad_pool(d[:, 0], 1.0, tile)
+    dy, _ = _pad_pool(d[:, 1], 1.0, tile)
+    dz, _ = _pad_pool(d[:, 2], 1.0, tile)
+    mt, _ = _pad_pool(min_t, -FLT_MAX, tile)
+    oc0, _ = _pad_pool(occluded0.astype(jnp.int32), 1, tile)
+
+    num_tiles = ox.shape[0] // tile
+    octs = _tile_octants(d, num_tiles, tile)
+    S, Tmax = sub_nodes, sub_tris
+    n_sub = subf.shape[0] // (S * 48)
+    T = topf.shape[0] // 48
+    B = STREAM_BUFS
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            *[
+                pl.BlockSpec((1, rows, TILE_LANES), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(8)
+            ],
+            *[pl.BlockSpec(memory_space=pl.ANY) for _ in range(3)],
+            *[pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(4)],  # see
+            # closest-hit streaming: dynamic row DMA needs untiled HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, TILE_LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((T + 8 * P_NODES + 8,), jnp.int32),
+            pltpu.SMEM((n_sub + 8 * P_NODES + 8,), jnp.int32),
+            pltpu.SMEM((S + 8 * P_NODES + 8,), jnp.int32),
+            pltpu.SMEM((S * 8 + 8 * P_NODES + 8,), jnp.int32),
+            pltpu.SMEM((T * 48,), jnp.float32),
+            pltpu.SMEM((T * 8,), jnp.int32),
+            pltpu.SMEM((T * 8,), jnp.int32),
+            pltpu.SMEM((B * S * 48,), jnp.float32),
+            pltpu.SMEM((B * S * 24,), jnp.int32),
+            pltpu.SMEM((B * S * 8,), jnp.int32),
+            pltpu.SMEM((B * Tmax * 12,), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((B, 4)),
+        ],
+    )
+    kernel = _make_stream_occlusion_kernel(leaf_k, p_nodes, q_leaves, S, Tmax)
+    (occ,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, rows, TILE_LANES), jnp.int32)
+        ],
+        interpret=interpret,
+    )(
+        octs, tri_base,
+        _tiles(ox, rows), _tiles(oy, rows), _tiles(oz, rows),
+        _tiles(dx, rows), _tiles(dy, rows), _tiles(dz, rows),
+        _tiles(mt, rows), _tiles(oc0, rows),
+        topf, topl, topp, subf, subi, subp, subt,
+    )
+    return occ.reshape(-1)[:n].astype(bool)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "leaf_k", "interpret", "p_nodes", "q_leaves", "rows"))
 def occlusion_wbvh_pallas(

@@ -25,6 +25,7 @@ reference: src/scene.cpp:514-529, README.md:25-27).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import NamedTuple
 
@@ -32,7 +33,12 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from pathtracer_tpu.accel.bvh import FlatBVH, build_bvh, collapse_wide
+from pathtracer_tpu.accel.bvh import (
+    FlatBVH,
+    build_bvh,
+    collapse_wide,
+    partition_stream,
+)
 from pathtracer_tpu.scene.parser import LIGHT, OBJ, SceneData
 
 TRI_ROW = 32  # packed triangle row width
@@ -60,6 +66,16 @@ class FlatScene(NamedTuple):
     bvh_wi: jnp.ndarray           # (Mw*24,) i32: per node [link x8, start x8, end x8]
     bvh_wp: jnp.ndarray           # (Mw*8,) i32: per node 8 packed per-octant child orders
     tri_pk: jnp.ndarray           # (T, 12) f32: v0 v1 v2 pad
+    # BVH — two-level streaming split (meshes beyond the resident budget;
+    # accel/bvh.py partition_stream).  Dummy 1-row arrays when unused.
+    str_topf: jnp.ndarray         # (Ttop*48,) f32 top-tree child AABBs
+    str_topl: jnp.ndarray         # (Ttop*8,) i32 links: >=0 top, -(2+s) sub
+    str_topp: jnp.ndarray         # (Ttop*8,) i32 packed per-octant orders
+    str_subf: jnp.ndarray         # (n_sub*S*48,) f32 subtree-block AABBs
+    str_subi: jnp.ndarray         # (n_sub*S*24,) i32 local links/cuts
+    str_subp: jnp.ndarray         # (n_sub*S*8,) i32 per-octant orders
+    str_subt: jnp.ndarray         # (n_sub*Tmax*12,) f32 block triangles
+    str_base: jnp.ndarray         # (n_sub,) i32 global first-tri id per block
     # materials — component-major (8, M): per-component (N,) gathers have
     # clean TPU layouts; row gathers of (N, 8) then column slices do not
     mat_f32: jnp.ndarray          # (8, M): albedo(3) roughness metallic ior pad(2)
@@ -94,6 +110,10 @@ class SceneStatic:
     scene_bounds: tuple  # (bmin xyz, bmax xyz) of ALL geometry — the ray
     # sort's spatial hash grid (the BVH root covers triangles only)
     analytic_lights: tuple  # (light_idx, geom_idx, geom_type) for non-OBJ lights
+    stream_top: int   # streaming split: top-tree node count (0 = resident)
+    stream_subs: int  # streaming split: subtree block count (0 = resident)
+    stream_sub_nodes: int  # node slots per streamed block (S)
+    stream_sub_tris: int   # triangle rows per streamed block (Tmax)
     wide_depth: int   # 8-ary tree max depth — gates the Pallas path (its
     # SMEM traversal stack holds at most 7·depth+1 pending nodes)
     wide_nodes: int   # 8-ary node count (SMEM table budget gate)
@@ -176,6 +196,11 @@ def _pack_triangles(
         row[:, 18:24] = uv.reshape(T, 6)
         row[:, 24:27] = tan
         row[:, 27:30] = bit
+        # geom id rides the row (col 30, exact in f32 below 2^24): closest_hit
+        # reads it from the already-gathered row instead of a separate
+        # tri_geom[tidx] 1D gather (tiny-table gathers lower to serial loops
+        # on TPU — profiled at ~36 ms/iter at 640k rays)
+        row[:, 30] = gi
         rows.append(row)
         geom_ids.append(np.full(T, gi, np.int32))
 
@@ -305,7 +330,86 @@ def build_wide_tables(bvh: FlatBVH, leaf_k: int | None = None):
         )
     else:
         root = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    build_wide_tables._last_wide = wide  # reused by build_stream_tables
     return wf, wi, wp, wide.max_depth, m, root
+
+
+# streaming split knobs: per-block budgets + resident-kernel SMEM budget
+STREAM_SUB_NODES = 256
+STREAM_SUB_TRIS = 2048
+RESIDENT_SMEM_BUDGET = 900_000
+RESIDENT_TRI_VMEM_BUDGET = 8_000_000
+STREAM_SMEM_BUDGET = 900_000  # top tables + stacks + DMA ring
+
+
+def resident_tables_fit(num_wide_nodes: int, num_tris: int) -> bool:
+    """Do the fully-resident packet tables fit on-chip?  (Mirrors the
+    SMEM/VMEM budgets of ops/traverse_pallas.py's resident kernels.)
+    PT_FORCE_STREAM=1 forces the streaming path (A/B benchmarking)."""
+    if os.environ.get("PT_FORCE_STREAM"):
+        return False
+    smem = (48 + 24 + 8 + 9) * num_wide_nodes * 4 + 256
+    return (
+        smem <= RESIDENT_SMEM_BUDGET
+        and num_tris * 48 <= RESIDENT_TRI_VMEM_BUDGET
+    )
+
+
+def build_stream_tables(bvh: FlatBVH, tri_pk: np.ndarray,
+                        num_wide_nodes: int, leaf_k: int):
+    """Two-level streaming tables (accel/bvh.py partition_stream) for
+    meshes past the resident budget; dummy (zero-subtree) tables when the
+    resident kernels suffice.
+
+    Returns (topf, topl, topp, subf, subi, subp, subt, tri_base,
+    num_top, num_sub) — num_sub == 0 means 'not streaming'."""
+    nt = tri_pk.shape[0]
+    dummy = (
+        np.zeros(48, np.float32), np.full(8, -1, np.int32),
+        np.zeros(8, np.int32),
+        np.zeros(STREAM_SUB_NODES * 48, np.float32),
+        np.zeros(STREAM_SUB_NODES * 24, np.int32),
+        np.zeros(STREAM_SUB_NODES * 8, np.int32),
+        np.zeros(STREAM_SUB_TRIS * 12, np.float32),
+        np.zeros(1, np.int32), 0, 0,
+    )
+    if nt == 0 or resident_tables_fit(num_wide_nodes, nt):
+        return dummy
+    wide = getattr(build_wide_tables, "_last_wide", None)
+    if wide is None or wide.num_nodes != num_wide_nodes:
+        wide = collapse_wide(bvh, leaf_k)
+    s = partition_stream(wide, STREAM_SUB_NODES, STREAM_SUB_TRIS)
+    T, n_sub, S = s.num_top, s.num_sub, s.sub_nodes
+    # top-tree SMEM budget of the streaming kernels (tables + stacks +
+    # double-buffered subtree ring)
+    smem = (
+        T * (48 + 8 + 8) + 2 * S * (48 + 24 + 8) + 2 * STREAM_SUB_TRIS * 12
+        + T + n_sub + S + S * 8 + 256
+    ) * 4
+    if smem > STREAM_SMEM_BUDGET:
+        return dummy
+    # node tables FLAT 1D, tri table 2D with block-aligned rows: Mosaic
+    # rejects dynamic size-1 dim-0 slices of 2D memrefs (sublane tiling),
+    # so block DMA sources are (blocks*stride,) 1D slices / (blocks*Tmax,
+    # 12) row ranges, both tile-aligned
+    topf = np.concatenate([s.top_bmin, s.top_bmax], axis=2).reshape(-1)
+    topl = s.top_link.reshape(-1).astype(np.int32)
+    topp = s.top_perm.reshape(-1).astype(np.int32)
+    subf = np.concatenate([s.sub_bmin, s.sub_bmax], axis=3).reshape(-1)
+    subi = np.concatenate(
+        [s.sub_link, s.sub_start, s.sub_end], axis=2
+    ).reshape(-1).astype(np.int32)
+    subp = s.sub_perm.reshape(-1).astype(np.int32)
+    subt = np.zeros((n_sub, s.sub_tris, 12), np.float32)
+    for si in range(n_sub):
+        b, c = int(s.tri_base[si]), int(s.tri_count[si])
+        subt[si, :c] = tri_pk[b : b + c]
+    subt = subt.reshape(-1)  # flat 1D: block tri reads are SMEM scalars
+    return (
+        topf.astype(np.float32), topl, topp,
+        subf.astype(np.float32), subi, subp, subt,
+        s.tri_base.astype(np.int32), T, n_sub,
+    )
 
 
 def build_flat_scene(
@@ -415,6 +519,14 @@ def build_flat_scene(
     tri_pk = np.zeros((tri_data.shape[0], 12), np.float32)
     tri_pk[:, 0:9] = tri_data[:, 0:9]
 
+    # streaming split for meshes beyond the SMEM-resident kernel budget
+    # (accel/bvh.py partition_stream; ops/traverse_pallas.py streaming
+    # kernels): the top tree stays on-chip, subtree blocks DMA from HBM
+    (str_topf, str_topl, str_topp, str_subf, str_subi, str_subp, str_subt,
+     str_base, stream_top, stream_subs) = build_stream_tables(
+        bvh, tri_pk, wide_nodes, leaf_k=wide_k
+    )
+
     flat = FlatScene(
         geom_type=jnp.asarray(geom_type),
         geom_mat=jnp.asarray(geom_mat),
@@ -429,6 +541,14 @@ def build_flat_scene(
         bvh_wi=jnp.asarray(bvh_wi),
         bvh_wp=jnp.asarray(bvh_wp),
         tri_pk=jnp.asarray(tri_pk),
+        str_topf=jnp.asarray(str_topf),
+        str_topl=jnp.asarray(str_topl),
+        str_topp=jnp.asarray(str_topp),
+        str_subf=jnp.asarray(str_subf),
+        str_subi=jnp.asarray(str_subi),
+        str_subp=jnp.asarray(str_subp),
+        str_subt=jnp.asarray(str_subt),
+        str_base=jnp.asarray(str_base),
         mat_f32=jnp.asarray(mat_f32.T.copy()),
         mat_i32=jnp.asarray(mat_i32.T.copy()),
         atlas=jnp.asarray(atlas),
@@ -450,6 +570,10 @@ def build_flat_scene(
             for li in range(len(lg))
             if lt[li] < 0
         ),
+        stream_top=stream_top,
+        stream_subs=stream_subs,
+        stream_sub_nodes=STREAM_SUB_NODES if stream_subs else 0,
+        stream_sub_tris=STREAM_SUB_TRIS if stream_subs else 0,
         wide_depth=wide_depth,
         wide_nodes=wide_nodes,
         wide_leaf_k=wide_k,

@@ -105,10 +105,15 @@ class TestBuildFlags:
         )
         np.testing.assert_array_equal(np.asarray(tri), np.asarray(ref.tri))
 
-    def test_vertex_normal_false_uses_face_normals(self, soup_scene):
-        flat_v, static_v = build_flat_scene(soup_scene)
+    def test_vertex_normal_false_uses_face_normals(self, tmp_path):
+        # needs an OBJ that actually carries vn lines (the plain soup does
+        # not, so both builds would fall back to face normals)
+        scene = load_scene(
+            tri_soup_scene(tmp_path, n=40, seed=7, vertex_normals=True)
+        )
+        flat_v, static_v = build_flat_scene(scene)
         flat_f, static_f = build_flat_scene(
-            soup_scene, opts=RenderOptions(vertex_normal=False)
+            scene, opts=RenderOptions(vertex_normal=False)
         )
         nv = np.asarray(flat_v.tri_data[:, 9:18]).reshape(-1, 3, 3)
         nf = np.asarray(flat_f.tri_data[:, 9:18]).reshape(-1, 3, 3)

@@ -13,8 +13,12 @@ from pathtracer_tpu.scene.parser import load_scene
 import textwrap
 
 
-def tri_soup_scene(tmp_path, n=150, seed=0):
-    """Write an OBJ of random triangles + a scene that loads it."""
+def tri_soup_scene(tmp_path, n=150, seed=0, vertex_normals=False):
+    """Write an OBJ of random triangles + a scene that loads it.
+
+    `vertex_normals=True` adds per-vertex `vn` lines (random unit vectors,
+    distinct per corner) so VERTEX_NORMAL-flag tests can tell interpolated
+    normals apart from the face-normal fallback."""
     rng = np.random.default_rng(seed)
     centers = rng.uniform(-3, 3, size=(n, 1, 3))
     tris = centers + rng.uniform(-0.4, 0.4, size=(n, 3, 3))
@@ -23,8 +27,18 @@ def tri_soup_scene(tmp_path, n=150, seed=0):
         for t in tris:
             for v in t:
                 f.write(f"v {v[0]} {v[1]} {v[2]}\n")
-        for i in range(n):
-            f.write(f"f {3*i+1} {3*i+2} {3*i+3}\n")
+        if vertex_normals:
+            nrm = rng.normal(size=(3 * n, 3))
+            nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+            for v in nrm:
+                f.write(f"vn {v[0]} {v[1]} {v[2]}\n")
+            for i in range(n):
+                f.write(
+                    f"f {3*i+1}//{3*i+1} {3*i+2}//{3*i+2} {3*i+3}//{3*i+3}\n"
+                )
+        else:
+            for i in range(n):
+                f.write(f"f {3*i+1} {3*i+2} {3*i+3}\n")
     scene = tmp_path / "soup.txt"
     scene.write_text(
         textwrap.dedent(

@@ -106,3 +106,89 @@ class TestPacketOcclusion:
             interpret=True,
         )
         assert not np.asarray(occ).any()
+
+
+class TestStreamTraversal:
+    """Streaming (two-level, DMA-ring) kernels must agree with the XLA
+    walk.  The soup is forced onto the streaming path by shrinking the
+    resident budget and the per-block budgets so it splits into many
+    subtree blocks (accel/bvh.py partition_stream)."""
+
+    @pytest.fixture(scope="class")
+    def stream_soup(self, tmp_path_factory, request):
+        import pathtracer_tpu.scene.flatscene as fs
+
+        old = (fs.RESIDENT_SMEM_BUDGET, fs.STREAM_SUB_NODES, fs.STREAM_SUB_TRIS)
+        fs.RESIDENT_SMEM_BUDGET = 0
+        fs.STREAM_SUB_NODES, fs.STREAM_SUB_TRIS = 8, 48
+        try:
+            tmp = tmp_path_factory.mktemp("soup_stream")
+            scene = load_scene(tri_soup_scene(tmp, n=300, seed=5))
+            flat, static = build_flat_scene(scene)
+        finally:
+            (fs.RESIDENT_SMEM_BUDGET, fs.STREAM_SUB_NODES,
+             fs.STREAM_SUB_TRIS) = old
+        assert static.stream_subs > 1, "soup did not split into blocks"
+        return flat, static
+
+    def _closest_stream(self, flat, static, o, d, t_init):
+        from pathtracer_tpu.ops.traverse_pallas import closest_hit_stream_pallas
+
+        return closest_hit_stream_pallas(
+            flat.str_topf, flat.str_topl, flat.str_topp,
+            flat.str_subf, flat.str_subi, flat.str_subp, flat.str_subt,
+            flat.str_base, o, d, t_init,
+            leaf_k=static.wide_leaf_k,
+            sub_nodes=static.stream_sub_nodes,
+            sub_tris=static.stream_sub_tris,
+            interpret=True,
+        )
+
+    def test_partition_invariants(self, stream_soup):
+        flat, static = stream_soup
+        from pathtracer_tpu.accel.bvh import (
+            build_bvh, collapse_wide, partition_stream, validate_stream_bvh,
+        )
+
+        tris = np.asarray(flat.tri_pk[:, 0:9]).reshape(-1, 3, 3)
+        w = collapse_wide(build_bvh(tris), leaf_k=static.wide_leaf_k)
+        s = partition_stream(w, 8, 48)
+        assert validate_stream_bvh(s, w, tris.shape[0]) == []
+
+    def test_closest_matches_xla(self, stream_soup):
+        flat, static = stream_soup
+        o, d = random_rays(2048, seed=31)
+        ref = closest_hit(flat, static, o, d)
+        t_init = jnp.full((2048,), FLT_MAX, jnp.float32)
+        t, tri, u, v = self._closest_stream(flat, static, o, d, t_init)
+        np.testing.assert_array_equal(np.asarray(tri), np.asarray(ref.tri))
+        hits = np.asarray(ref.tri) >= 0
+        np.testing.assert_allclose(
+            np.asarray(t)[hits], np.asarray(ref.t)[hits], rtol=1e-5
+        )
+
+    def test_dead_sentinel_is_inert(self, stream_soup):
+        flat, static = stream_soup
+        o, d = random_rays(512, seed=32)
+        t_init = jnp.full((512,), DEAD_T, jnp.float32)
+        t, tri, u, v = self._closest_stream(flat, static, o, d, t_init)
+        assert (np.asarray(tri) == -1).all()
+
+    def test_occlusion_matches_xla(self, stream_soup):
+        flat, static = stream_soup
+        from pathtracer_tpu.ops.traverse_pallas import occlusion_stream_pallas
+
+        o, d = random_rays(2048, seed=33)
+        des = o + d * 3.0
+        ref = occlusion_test(flat, static, o, d, des)
+        min_t = jnp.linalg.norm(des - o, axis=-1)
+        occ = occlusion_stream_pallas(
+            flat.str_topf, flat.str_topl, flat.str_topp,
+            flat.str_subf, flat.str_subi, flat.str_subp, flat.str_subt,
+            flat.str_base, o, d, min_t, jnp.zeros((2048,), bool),
+            leaf_k=static.wide_leaf_k,
+            sub_nodes=static.stream_sub_nodes,
+            sub_tris=static.stream_sub_tris,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))

@@ -72,8 +72,25 @@ def e_argsort_only(key):
     return (jnp.argsort(key, stable=True) ^ key,)
 
 
+def e_scatter1d(i0, i1, i2, lane, c):
+    return (
+        i0.at[lane].add(c[:, 0]),
+        i1.at[lane].add(c[:, 1]),
+        i2.at[lane].add(c[:, 2]),
+        lane + 1,
+        c,
+    )
+
+
+def f_lanesort(img, lane, c):
+    out = jax.lax.sort((lane, c[:, 0], c[:, 1], c[:, 2]), num_keys=1)
+    return img + jnp.stack(out[1:4], axis=1), lane, c
+
+
 timeit("argsort only", loop(lambda k: (jnp.argsort(k, stable=True) ^ k,)), key0)
 timeit("a) argsort + 17x 1D gather", loop(a_argsort_gather), key0, *cols)
 timeit("b) lax.sort 17 payloads", loop(b_multisort), key0, *cols)
 timeit("c) argsort + (N,3) row gather", loop(c_rowgather), key0, mat)
 timeit("d) (N,3) scatter-add", loop(d_scatter), img, lane, mat)
+timeit("e) 3x 1D scatter-add", loop(e_scatter1d), img[:, 0], img[:, 1], img[:, 2], lane, mat)
+timeit("f) lane-keyed 4-op sort + add", loop(f_lanesort), img, lane, mat)
