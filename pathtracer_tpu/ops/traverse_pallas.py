@@ -980,14 +980,19 @@ def _make_stream_occlusion_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                     subq_ref[new_tail] = -(link + 2)
                     new_tail = new_tail + (any_c & is_sub).astype(jnp.int32)
 
+            # once done, start no NEW block DMAs — but pending ones MUST
+            # still be waited below (exiting the kernel with in-flight
+            # DMAs leaves stale semaphore counts for the next grid step)
             ds = jax.lax.while_loop(
-                lambda d: (d < new_tail) & (d - shead < n_buf),
+                lambda d: (d < new_tail) & (d - shead < n_buf) & ~_done,
                 lambda d: (start_dma(d), d + 1)[1], ds
             )
 
             @pl.when(shead < ds)
             def _():
                 wait_dma(jax.lax.rem(shead, n_buf))
+                # when done the walk is ~free: every lane cap is -FLT_MAX,
+                # so the local root pop activates nothing
                 sub_walk(jax.lax.rem(shead, n_buf))
 
             new_head = shead + (shead < ds).astype(jnp.int32)
@@ -996,7 +1001,10 @@ def _make_stream_occlusion_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
 
         alive_any = jnp.any(min_t >= 0.0)
         jax.lax.while_loop(
-            lambda st: ((st[0] > 0) | (st[1] < st[2])) & ~st[4],
+            # run until blocked-everywhere (done), BUT always drain
+            # in-flight DMAs (shead < ds) before exiting
+            lambda st: (((st[0] > 0) | (st[1] < st[2])) & ~st[4])
+            | (st[1] < st[3]),
             lap,
             (
                 jnp.where(alive_any, jnp.int32(1), jnp.int32(0)),
