@@ -12,8 +12,9 @@ bounce (reference: src/pathtrace.cu:614-631,727,789).  The loop exits as
 soon as every lane is dead (on-device `jnp.any`), matching the reference's
 `num_paths == 0` exit without the sync.
 
-Because lane index == pixel index, radiance accumulation is a masked
-elementwise add into the (N, 3) image — no scatter needed.
+Radiance accumulates on the RAY (`contrib` rides through per-bounce
+sorts) and folds into the image once per iteration: a plain elementwise
+add when unsorted (lane == pixel), one scatter-add when sorted.
 
 Physics conventions replicated exactly:
 - camera AA jitter (r-0.5) and pixel→direction mapping
@@ -157,10 +158,9 @@ def make_render_iteration(
     # compaction, reference: src/pathtrace.cu:614-631): rays reorder by
     # (alive, direction octant, origin cell) so traversal packets stay
     # coherent after the first bounce and dead rays cluster into packets
-    # that exit at the root.  Image contributions scatter back via `lane`.
-    # sorting costs ~50 ms/bounce (argsort + 7-field state permute at 640k
-    # rays); it buys back multiples of that in packet-traversal coherence
-    # only when the mesh is big enough to make traversal expensive
+    # that exit at the root — sorted packets traverse ~3x faster.  The
+    # sort itself is one multi-operand lax.sort (~46 ms at 640k rays);
+    # worth it only when the mesh makes traversal expensive
     sort_rays = bool(opts.compaction) and static.num_tris >= 512
     env_nee = bool(opts.env_importance) and static.env_map_id >= 0
     # pool→pixel map (spatial swizzle for packet coherence); identity when

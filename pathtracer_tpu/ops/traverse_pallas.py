@@ -39,7 +39,6 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_ROWS = 16
 TILE_LANES = 128
 TILE = TILE_ROWS * TILE_LANES
-STACK_DEPTH = 96
 FLT_MAX = 3.402823466e38
 
 

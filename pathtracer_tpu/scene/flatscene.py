@@ -335,8 +335,8 @@ def build_wide_tables(bvh: FlatBVH, leaf_k: int | None = None):
 
 
 # streaming split knobs: per-block budgets + resident-kernel SMEM budget
-STREAM_SUB_NODES = 256
-STREAM_SUB_TRIS = 2048
+STREAM_SUB_NODES = 512
+STREAM_SUB_TRIS = 4096
 RESIDENT_SMEM_BUDGET = 900_000
 RESIDENT_TRI_VMEM_BUDGET = 8_000_000
 STREAM_SMEM_BUDGET = 900_000  # top tables + stacks + DMA ring
@@ -362,7 +362,8 @@ def build_stream_tables(bvh: FlatBVH, tri_pk: np.ndarray,
     resident kernels suffice.
 
     Returns (topf, topl, topp, subf, subi, subp, subt, tri_base,
-    num_top, num_sub) — num_sub == 0 means 'not streaming'."""
+    num_top, num_sub, sub_nodes, sub_tris) — num_sub == 0 means 'not
+    streaming'."""
     nt = tri_pk.shape[0]
     dummy = (
         np.zeros(48, np.float32), np.full(8, -1, np.int32),
@@ -371,23 +372,32 @@ def build_stream_tables(bvh: FlatBVH, tri_pk: np.ndarray,
         np.zeros(STREAM_SUB_NODES * 24, np.int32),
         np.zeros(STREAM_SUB_NODES * 8, np.int32),
         np.zeros(STREAM_SUB_TRIS * 12, np.float32),
-        np.zeros(1, np.int32), 0, 0,
+        np.zeros(1, np.int32), 0, 0, 0, 0,
     )
     if nt == 0 or resident_tables_fit(num_wide_nodes, nt):
         return dummy
     wide = getattr(build_wide_tables, "_last_wide", None)
     if wide is None or wide.num_nodes != num_wide_nodes:
         wide = collapse_wide(bvh, leaf_k)
-    s = partition_stream(wide, STREAM_SUB_NODES, STREAM_SUB_TRIS)
-    T, n_sub, S = s.num_top, s.num_sub, s.sub_nodes
-    # top-tree SMEM budget of the streaming kernels (tables + stacks +
-    # double-buffered subtree ring)
-    smem = (
-        T * (48 + 8 + 8) + 2 * S * (48 + 24 + 8) + 2 * STREAM_SUB_TRIS * 12
-        + T + n_sub + S + S * 8 + 256
-    ) * 4
-    if smem > STREAM_SMEM_BUDGET:
+    # prefer LARGE blocks (fewer per-packet block fetches — the dominant
+    # large-mesh cost); halve until the top tables + stacks + DMA ring
+    # fit the streaming kernels' SMEM budget
+    s = None
+    for div in (1, 2, 4):
+        cand = partition_stream(
+            wide, STREAM_SUB_NODES // div, STREAM_SUB_TRIS // div
+        )
+        T, n_sub, S = cand.num_top, cand.num_sub, cand.sub_nodes
+        smem = (
+            T * (48 + 8 + 8) + 2 * S * (48 + 24 + 8) + 2 * cand.sub_tris * 12
+            + T + n_sub + S + S * 8 + 256
+        ) * 4
+        if smem <= STREAM_SMEM_BUDGET:
+            s = cand
+            break
+    if s is None:
         return dummy
+    T, n_sub = s.num_top, s.num_sub
     # node tables FLAT 1D, tri table 2D with block-aligned rows: Mosaic
     # rejects dynamic size-1 dim-0 slices of 2D memrefs (sublane tiling),
     # so block DMA sources are (blocks*stride,) 1D slices / (blocks*Tmax,
@@ -408,7 +418,7 @@ def build_stream_tables(bvh: FlatBVH, tri_pk: np.ndarray,
     return (
         topf.astype(np.float32), topl, topp,
         subf.astype(np.float32), subi, subp, subt,
-        s.tri_base.astype(np.int32), T, n_sub,
+        s.tri_base.astype(np.int32), T, n_sub, s.sub_nodes, s.sub_tris,
     )
 
 
@@ -523,9 +533,8 @@ def build_flat_scene(
     # (accel/bvh.py partition_stream; ops/traverse_pallas.py streaming
     # kernels): the top tree stays on-chip, subtree blocks DMA from HBM
     (str_topf, str_topl, str_topp, str_subf, str_subi, str_subp, str_subt,
-     str_base, stream_top, stream_subs) = build_stream_tables(
-        bvh, tri_pk, wide_nodes, leaf_k=wide_k
-    )
+     str_base, stream_top, stream_subs, stream_sub_nodes, stream_sub_tris
+     ) = build_stream_tables(bvh, tri_pk, wide_nodes, leaf_k=wide_k)
 
     flat = FlatScene(
         geom_type=jnp.asarray(geom_type),
@@ -572,8 +581,8 @@ def build_flat_scene(
         ),
         stream_top=stream_top,
         stream_subs=stream_subs,
-        stream_sub_nodes=STREAM_SUB_NODES if stream_subs else 0,
-        stream_sub_tris=STREAM_SUB_TRIS if stream_subs else 0,
+        stream_sub_nodes=stream_sub_nodes,
+        stream_sub_tris=stream_sub_tris,
         wide_depth=wide_depth,
         wide_nodes=wide_nodes,
         wide_leaf_k=wide_k,
