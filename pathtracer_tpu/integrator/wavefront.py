@@ -420,11 +420,19 @@ def make_render_iteration(
         )
 
     def finish_state(state: _BounceState):
-        """Fold the per-ray contributions into the image: ONE scatter-add
-        per iteration when rays were sorted (lanes migrated), a plain
-        elementwise add otherwise (lane i == pixel i)."""
+        """Fold the per-ray contributions into the image once per
+        iteration.  Sorted pools un-permute via a lane-keyed multi-operand
+        sort (lane is a permutation, so sorting by it IS the inverse
+        permutation) — measured 30 ms vs 54 ms for the (N,3) scatter-add
+        at 640k rays (tools/sort_bench.py).  Unsorted pools: lane i ==
+        pixel i, plain add."""
         if sort_rays:
-            return state.img.at[state.lane].add(state.contrib)
+            out = jax.lax.sort(
+                (state.lane, state.contrib[:, 0], state.contrib[:, 1],
+                 state.contrib[:, 2]),
+                num_keys=1,
+            )
+            return state.img + jnp.stack(out[1:4], axis=1)
         return state.img + state.contrib
 
     def bounce_step(flat: FlatScene, key, iteration, state: _BounceState, pixel0=0):
