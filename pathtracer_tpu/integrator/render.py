@@ -170,7 +170,7 @@ class Renderer:
             laps += 1
             if int(alive) == 0:
                 break
-        return self._finish_fn(state), state.rays_traced, laps
+        return self._finish_fn(state, self.flat), state.rays_traced, laps
 
     # -- state --------------------------------------------------------------
     def reset(self):

@@ -105,6 +105,8 @@ class _BounceState(NamedTuple):
     color: jnp.ndarray
     contrib: jnp.ndarray  # radiance accumulated BY THIS RAY (rides the ray
     # through sorts; scattered into img once per iteration, not per bounce)
+    env_scale: jnp.ndarray  # throughput at env-miss death (0 = no miss);
+    # the env radiance lookup itself is deferred to finish_state
     prev_pdf: jnp.ndarray
     remaining: jnp.ndarray
     alive: jnp.ndarray
@@ -195,12 +197,18 @@ def make_render_iteration(
             state.alive,
             state.lane,
         )
+        if static.env_map_id >= 0:
+            cols = cols + (
+                state.env_scale[:, 0], state.env_scale[:, 1],
+                state.env_scale[:, 2],
+            )
         out = jax.lax.sort((key,) + cols, num_keys=1, is_stable=True)
         st3 = lambda i: jnp.stack(out[i : i + 3], axis=1)
         return state._replace(
             o=st3(1), d=st3(4), color=st3(7), contrib=st3(10),
             prev_pdf=out[13], remaining=out[14],
             alive=out[15].astype(bool), lane=out[16],
+            env_scale=st3(17) if static.env_map_id >= 0 else state.env_scale,
         )
 
     def bounce_body(flat: FlatScene, key, iteration, pixel0, state: _BounceState):
@@ -232,31 +240,17 @@ def make_render_iteration(
                 alive=jnp.zeros_like(alive),
                 rays_traced=rays_traced,
             )
+        env_scale = state.env_scale
         if static.env_map_id >= 0:
-            uv = m.sphere_to_plane(state.d)
-            env = bilinear_sample_u32(
-                flat.atlas_u32,
-                flat.tex_table,
-                jnp.full((n,), static.env_map_id, jnp.int32),
-                uv,
-            )
-            env_w = 1.0
-            if mode == SampleMode.MIS and env_nee:
-                # MIS counterweight for BSDF rays escaping to the sky —
-                # the env participates in NEE so its hit must be weighted
-                from pathtracer_tpu.ops.envmap import env_pdf as _env_pdf
-
-                l_eff = jnp.float32(static.num_lights + 1)
-                ep = _env_pdf(flat, static, state.d) / l_eff
-                env_w = jnp.where(
-                    state.prev_pdf > 0.0,
-                    m.power_heuristic(state.prev_pdf, ep),
-                    1.0,
-                )[..., None]
-            contrib = contrib + jnp.where(
-                (alive & miss)[..., None],
-                m.process_nan(state.color * env * env_w),
-                0.0,
+            # DEFERRED env lookup: a lane takes this branch at most once
+            # per iteration (it dies on miss), and its d/prev_pdf freeze
+            # at death — so just record color here and do the 4-tap
+            # bilinear gather + MIS pdf gather ONCE per iteration in
+            # finish_state instead of once per bounce for the whole pool
+            # (the gathers were the envbunny bottleneck: ~4 gathers x
+            # pool x up-to-8 bounces)
+            env_scale = jnp.where(
+                (alive & miss)[..., None], state.color, env_scale
             )
         alive = alive & ~miss
 
@@ -297,6 +291,7 @@ def make_render_iteration(
                 state.d,
                 state.color,
                 contrib,
+                env_scale,
                 state.prev_pdf,
                 state.remaining,
                 jnp.zeros_like(alive),
@@ -368,8 +363,8 @@ def make_render_iteration(
         alive = cont & (remaining > 0)
 
         return _BounceState(
-            depth + 1, o, d, color, contrib, prev_pdf, remaining, alive,
-            state.lane, img, rays_traced
+            depth + 1, o, d, color, contrib, env_scale, prev_pdf, remaining,
+            alive, state.lane, img, rays_traced
         )
 
     def render_iteration(
@@ -384,6 +379,7 @@ def make_render_iteration(
             d=d,
             color=jnp.ones((n, 3), jnp.float32),
             contrib=jnp.zeros((n, 3), jnp.float32),
+            env_scale=jnp.zeros((n, 3), jnp.float32),
             prev_pdf=jnp.full((n,), -1.0, jnp.float32),
             remaining=jnp.full((n,), trace_depth, jnp.int32),
             alive=jnp.ones((n,), bool),
@@ -398,7 +394,7 @@ def make_render_iteration(
         state = jax.lax.while_loop(
             cond, partial(bounce_body, flat, key, iteration, pixel0), state
         )
-        return finish_state(state), state.rays_traced, state.depth
+        return finish_state(state, flat), state.rays_traced, state.depth
 
     def start_state(flat: FlatScene, cam: CameraArrays, img, iteration, key, pixel0=0):
         """Staged-mode entry: build the initial wavefront (raygen only)."""
@@ -411,6 +407,7 @@ def make_render_iteration(
             d=d,
             color=jnp.ones((n, 3), jnp.float32),
             contrib=jnp.zeros((n, 3), jnp.float32),
+            env_scale=jnp.zeros((n, 3), jnp.float32),
             prev_pdf=jnp.full((n,), -1.0, jnp.float32),
             remaining=jnp.full((n,), trace_depth, jnp.int32),
             alive=jnp.ones((n,), bool),
@@ -419,13 +416,40 @@ def make_render_iteration(
             rays_traced=jnp.int32(0),
         )
 
-    def finish_state(state: _BounceState):
+    def finish_state(state: _BounceState, flat: FlatScene = None):
         """Fold the per-ray contributions into the image once per
-        iteration.  Sorted pools un-permute via a lane-keyed multi-operand
+        iteration.  Env-missed lanes get their DEFERRED radiance lookup
+        here (one 4-tap gather pass per iteration instead of one per
+        bounce — d and prev_pdf are frozen at death so the lookup
+        commutes).  Sorted pools un-permute via a lane-keyed multi-operand
         sort (lane is a permutation, so sorting by it IS the inverse
         permutation) — measured 30 ms vs 54 ms for the (N,3) scatter-add
         at 640k rays (tools/sort_bench.py).  Unsorted pools: lane i ==
         pixel i, plain add."""
+        contrib = state.contrib
+        if static.env_map_id >= 0 and flat is not None:
+            uv = m.sphere_to_plane(state.d)
+            env = bilinear_sample_u32(
+                flat.atlas_u32,
+                flat.tex_table,
+                jnp.full((n,), static.env_map_id, jnp.int32),
+                uv,
+            )
+            env_w = 1.0
+            if mode == SampleMode.MIS and env_nee:
+                # MIS counterweight for BSDF rays escaping to the sky —
+                # the env participates in NEE so its hit must be weighted
+                from pathtracer_tpu.ops.envmap import env_pdf as _env_pdf
+
+                l_eff = jnp.float32(static.num_lights + 1)
+                ep = _env_pdf(flat, static, state.d) / l_eff
+                env_w = jnp.where(
+                    state.prev_pdf > 0.0,
+                    m.power_heuristic(state.prev_pdf, ep),
+                    1.0,
+                )[..., None]
+            contrib = contrib + m.process_nan(state.env_scale * env * env_w)
+            state = state._replace(contrib=contrib)
         if sort_rays:
             out = jax.lax.sort(
                 (state.lane, state.contrib[:, 0], state.contrib[:, 1],
