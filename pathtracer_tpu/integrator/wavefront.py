@@ -214,7 +214,19 @@ def make_render_iteration(
     def bounce_body(flat: FlatScene, key, iteration, pixel0, state: _BounceState):
         depth = state.depth
         if sort_rays:
-            state = _sort_state(flat, state)
+            # the sort costs ~6-7 ms/bounce at 640k lanes no matter how
+            # few are alive; once <25% survive, the PREVIOUS order's
+            # dead-clustering already lets packets exit at the root, so
+            # re-sorting stops paying (straggler-dominated scenes like
+            # envbunny run all depth laps with a mostly-dead pool).
+            # Results are bit-identical either way: RNG keys on lane and
+            # contributions ride the ray.
+            worth_it = (depth == 0) | (
+                jnp.sum(state.alive.astype(jnp.int32)) * 4 > n
+            )
+            state = jax.lax.cond(
+                worth_it, lambda s: _sort_state(flat, s), lambda s: s, state
+            )
         alive = state.alive
         pixel_idx = pixel0 + state.lane
         contrib = state.contrib
