@@ -91,7 +91,8 @@ class Renderer:
         from pathtracer_tpu.ops.traverse import _packet_tables_fit
 
         if self.opts.pallas_traversal and (
-            jax.default_backend() == "cpu" or not _packet_tables_fit(self.flat, self.static)
+            (jax.default_backend() == "cpu" and not self.opts.interpret)
+            or not _packet_tables_fit(self.flat, self.static)
         ):
             from dataclasses import replace as _dc_replace
 

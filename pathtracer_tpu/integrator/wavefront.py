@@ -155,6 +155,7 @@ def make_render_iteration(
     use_bvh = bool(opts.use_bvh)
     use_pallas = bool(opts.pallas_traversal) and static.num_tris > 0 and use_bvh
     knobs = (int(opts.packet_p), int(opts.packet_q), int(opts.packet_rows))
+    interp = bool(opts.interpret)
     show_normal = bool(opts.show_normal)
     # per-bounce ray sorting (the TPU analogue of the reference's stream
     # compaction, reference: src/pathtrace.cu:614-631): rays reorder by
@@ -232,7 +233,7 @@ def make_render_iteration(
         contrib = state.contrib
         hit = closest_hit(
             flat, static, state.o, state.d, use_pallas=use_pallas, alive=alive,
-            use_bvh=use_bvh, knobs=knobs,
+            use_bvh=use_bvh, knobs=knobs, interpret=interp,
         )
         rays_traced = state.rays_traced + jnp.sum(alive.astype(jnp.int32))
 
@@ -281,7 +282,7 @@ def make_render_iteration(
             # delta (dielectric) lanes: bsdf_eval ≡ 0, so their NEE term is
             # zero — skip their shadow rays entirely (output-identical)
             nee_on = alive & ~is_light & ~is_delta
-            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=nee_on)
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=nee_on, interpret=interp)
             rays_traced = rays_traced + jnp.sum(nee_on.astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             bsdf = bsdf_eval(params, nrm, state.d, wi, present=static.material_types)
@@ -335,7 +336,7 @@ def make_render_iteration(
             li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
             # the NEE term is masked to cont & ~is_delta below; skipping the
             # other lanes' shadow rays in the kernel is output-identical
-            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=cont & ~is_delta)
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=cont & ~is_delta, interpret=interp)
             rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             b_pdf = pdf_eval(params, nrm, state.d, wi, present=static.material_types)

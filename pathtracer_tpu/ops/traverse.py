@@ -205,6 +205,7 @@ DEAD_T = jnp.float32(-FLT_MAX)
 def closest_hit(
     flat: FlatScene, static: SceneStatic, o, d, use_pallas: bool = False,
     alive=None, use_bvh: bool = True, knobs: tuple = (2, 4, 8),
+    interpret: bool = False,
 ) -> Hit:
     """Full-scene closest hit (geoms + triangles).
 
@@ -254,12 +255,14 @@ def closest_hit(
                 sub_nodes=static.stream_sub_nodes,
                 sub_tris=static.stream_sub_tris,
                 p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
+                interpret=interpret,
             )
         else:
             t_pk, tri_pk, u_pk, v_pk = closest_hit_wbvh_pallas(
                 flat.bvh_wf, flat.bvh_wi, flat.bvh_wp, flat.tri_pk, o, d, t_init,
                 leaf_k=static.wide_leaf_k,
                 p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
+                interpret=interpret,
             )
         t_min = jnp.where(tri_pk >= 0, t_pk, t_min)
         tri, u, v = tri_pk, u_pk, v_pk
@@ -292,6 +295,7 @@ def closest_hit(
 def occlusion_test(
     flat: FlatScene, static: SceneStatic, ori, dir, des, enabled=None,
     use_pallas: bool = False, use_bvh: bool = True, knobs: tuple = (2, 4, 8),
+    interpret: bool = False,
 ):
     """Shadow query: is the segment ori→des blocked?
 
@@ -364,12 +368,14 @@ def occlusion_test(
                 sub_nodes=static.stream_sub_nodes,
                 sub_tris=static.stream_sub_tris,
                 p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
+                interpret=interpret,
             )
         else:
             occluded = occlusion_wbvh_pallas(
                 flat.bvh_wf, flat.bvh_wi, flat.tri_pk, ori, dir, min_t_eff, occluded,
                 leaf_k=static.wide_leaf_k,
                 p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
+                interpret=interpret,
             )
         return occluded
 

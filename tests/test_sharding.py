@@ -206,3 +206,29 @@ class TestRendererDevices:
         r1 = Renderer(scene, opts=opts, resolution=(64, 64))
         with pytest.raises(ValueError, match="device-count"):
             r1.load_checkpoint(ck)
+
+
+class TestShardedPallasComposition:
+    def test_sharded_interpret_pallas_matches_xla(self, tmp_path):
+        """Sharded render composed with the Pallas packet kernels
+        (interpret mode) must match the sharded XLA-walk render — the
+        sharding and traversal layers are independent."""
+        from tests.test_traverse import tri_soup_scene
+        from pathtracer_tpu.integrator.render import Renderer
+        from pathtracer_tpu.utils.config import RenderOptions, SampleMode
+
+        from dataclasses import replace
+
+        path = tri_soup_scene(tmp_path, n=600, seed=9)
+        base = RenderOptions(sample_mode=SampleMode.MIS)
+        ra = Renderer(path, opts=replace(base, interpret=True,
+                                         pallas_traversal=True),
+                      resolution=(32, 16), trace_depth=3, devices=2)
+        rb = Renderer(path, opts=replace(base, pallas_traversal=False),
+                      resolution=(32, 16), trace_depth=3, devices=2)
+        assert ra.opts.pallas_traversal  # interpret keeps the kernels on
+        ra.step(2)
+        rb.step(2)
+        a = np.asarray(ra.img)
+        b = np.asarray(rb.img)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
