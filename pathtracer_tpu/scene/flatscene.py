@@ -450,6 +450,11 @@ def build_flat_scene(
 
     tri_data, tri_geom = _pack_triangles(scene, vertex_normal=vertex_normal)
 
+    # meshes beyond the resident-kernel budget render via the STREAMING
+    # Pallas path; the XLA walk is only their CPU fallback, so don't pay
+    # the 6x MTBVH replication (~370 MB of tables at 640k tris) for it
+    if tri_data.shape[0] * 48 > RESIDENT_TRI_VMEM_BUDGET:
+        use_mtbvh = False
     bvh: FlatBVH = build_bvh(
         tri_data[:, 0:9].reshape(-1, 3, 3) if tri_data.shape[0] else tri_data.reshape(0, 3, 3),
         use_sah=use_sah,

@@ -11,6 +11,10 @@ triangulation and normal conventions:
   reference: src/scene.cpp:395-411, src/utilities.h:26)
 - texcoords default to 0 when absent
 
+Large meshes take a fully-vectorized fast path (bulk numpy parses +
+index gathers — the per-line Python loop cost ~24 s at 640k faces);
+n-gons and mixed face formats fall back to the general loop.
+
 Returns raw numpy arrays; world-space transform + tangent baking happens in
 scene/flatscene.py (mirroring Scene::setDevData, reference: src/scene.cpp:479-512).
 """
@@ -22,72 +26,31 @@ from pathlib import Path
 import numpy as np
 
 
-def load_obj(path: str | Path) -> dict:
-    """Parse an OBJ file → dict of (T,3,3) positions, normals, (T,3,2) uvs."""
-    positions: list[list[float]] = []
-    normals: list[list[float]] = []
-    texcoords: list[list[float]] = []
-    faces: list[list[tuple[int, int, int]]] = []  # list of (vi, ti, ni) per corner
+def _fix_idx(idx: np.ndarray, n: int) -> np.ndarray:
+    """1-based OBJ indices; negative = relative to the end."""
+    return np.where(idx > 0, idx - 1, n + idx)
 
-    with open(path, "r", errors="replace") as f:
-        for raw in f:
-            line = raw.strip()
-            if not line or line.startswith("#"):
-                continue
-            parts = line.split()
-            tag = parts[0]
-            if tag == "v":
-                positions.append([float(x) for x in parts[1:4]])
-            elif tag == "vn":
-                normals.append([float(x) for x in parts[1:4]])
-            elif tag == "vt":
-                texcoords.append([float(x) for x in parts[1:3]])
-            elif tag == "f":
-                corners = []
-                for vert in parts[1:]:
-                    comp = vert.split("/")
-                    vi = int(comp[0]) if comp[0] else 0
-                    ti = int(comp[1]) if len(comp) > 1 and comp[1] else 0
-                    ni = int(comp[2]) if len(comp) > 2 and comp[2] else 0
-                    corners.append((vi, ti, ni))
-                if len(corners) >= 3:
-                    faces.append(corners)
 
-    pos = np.asarray(positions, np.float32).reshape(-1, 3)
-    nor = np.asarray(normals, np.float32).reshape(-1, 3)
-    uv = np.asarray(texcoords, np.float32).reshape(-1, 2)
-
-    def fix(idx: int, n: int) -> int:
-        return idx - 1 if idx > 0 else n + idx  # negative = relative
-
-    tri_idx: list[list[tuple[int, int, int]]] = []
-    for corners in faces:
-        for k in range(len(corners) - 2):
-            tri_idx.append([corners[0], corners[k + 1], corners[k + 2]])
-
-    ntri = len(tri_idx)
-    v = np.zeros((ntri, 3, 3), np.float32)
-    n_arr = np.zeros((ntri, 3, 3), np.float32)
+def _assemble(pos, nor, uv, vi, ti, ni):
+    """Gather per-corner attributes for (T, 3) index arrays."""
+    ntri = vi.shape[0]
+    v = pos[_fix_idx(vi, len(pos))].astype(np.float32)
     t_arr = np.zeros((ntri, 3, 2), np.float32)
-    has_normals = nor.shape[0] > 0
     has_uv = uv.shape[0] > 0
-
-    for i, tri in enumerate(tri_idx):
-        for c, (vi, ti, ni) in enumerate(tri):
-            v[i, c] = pos[fix(vi, len(pos))]
-            if has_uv and ti != 0:
-                t_arr[i, c] = uv[fix(ti, len(uv))]
-        if has_normals and all(ni != 0 for _, _, ni in tri):
-            for c, (_, _, ni) in enumerate(tri):
-                n_arr[i, c] = nor[fix(ni, len(nor))]
-        else:
-            e1 = v[i, 1] - v[i, 0]
-            e2 = v[i, 2] - v[i, 0]
-            fn = np.cross(e1, e2)
-            norm = np.linalg.norm(fn)
-            fn = fn / norm if norm > 0 else fn
-            n_arr[i] = fn
-
+    if has_uv:
+        valid = ti != 0
+        t_arr[valid] = uv[_fix_idx(ti[valid], len(uv))]
+    has_normals = nor.shape[0] > 0
+    # face normal fallback where any corner lacks a normal index
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    fn = np.cross(e1, e2)
+    ln = np.linalg.norm(fn, axis=-1, keepdims=True)
+    fn = np.where(ln > 0, fn / np.maximum(ln, 1e-38), fn)
+    n_arr = np.repeat(fn[:, None, :], 3, axis=1).astype(np.float32)
+    if has_normals:
+        use = (ni != 0).all(axis=1)
+        n_arr[use] = nor[_fix_idx(ni[use], len(nor))]
     return {
         "positions": v,       # (T, 3 corners, xyz)
         "normals": n_arr,     # (T, 3, 3)
@@ -95,3 +58,113 @@ def load_obj(path: str | Path) -> dict:
         "has_normals": has_normals,
         "has_uvs": has_uv,
     }
+
+
+def _floats(lines: list[str], width: int) -> np.ndarray:
+    if not lines:
+        return np.zeros((0, width), np.float32)
+    toks = " ".join(lines).split()
+    arr = np.asarray(toks, dtype=np.float64)
+    if arr.size % len(lines):
+        raise ValueError("ragged float block")
+    per = arr.size // len(lines)
+    if per < width:
+        raise ValueError("short float block")
+    return arr.reshape(len(lines), per)[:, :width].astype(np.float32)
+
+
+def load_obj(path: str | Path) -> dict:
+    """Parse an OBJ file → dict of (T,3,3) positions, normals, (T,3,2) uvs."""
+    text = Path(path).read_text(errors="replace")
+    vls: list[str] = []
+    vnls: list[str] = []
+    vtls: list[str] = []
+    fls: list[str] = []
+    for line in text.splitlines():
+        if line.startswith("v "):
+            vls.append(line[2:])
+        elif line.startswith("vn "):
+            vnls.append(line[3:])
+        elif line.startswith("vt "):
+            vtls.append(line[3:])
+        elif line.startswith("f "):
+            fls.append(line[2:])
+
+    try:
+        pos = _floats(vls, 3)
+        nor = _floats(vnls, 3)
+        uv = _floats(vtls, 2)
+    except ValueError:
+        return _load_obj_slow(vls, vnls, vtls, fls)
+
+    # fast path: uniform pure-triangle faces in one of the standard corner
+    # formats (v, v/t, v//n, v/t/n)
+    if fls:
+        first = fls[0].split()[0]
+        slashes = first.count("/")
+        double = "//" in first
+        blob = " ".join(fls)
+        if "/" in blob:
+            blob = blob.replace("/", " ")
+        toks = blob.split()
+        per_corner = 1 if slashes == 0 else (2 if (slashes == 1 or double) else 3)
+        if len(toks) == len(fls) * 3 * per_corner:
+            try:
+                idx = np.asarray(toks, dtype=np.int64)
+            except ValueError:
+                return _load_obj_slow(vls, vnls, vtls, fls)
+            idx = idx.reshape(len(fls), 3, per_corner)
+            vi = idx[:, :, 0]
+            if per_corner == 1:
+                ti = np.zeros_like(vi)
+                ni = np.zeros_like(vi)
+            elif per_corner == 2:
+                if double:  # v//n
+                    ti = np.zeros_like(vi)
+                    ni = idx[:, :, 1]
+                else:       # v/t
+                    ti = idx[:, :, 1]
+                    ni = np.zeros_like(vi)
+            else:           # v/t/n
+                ti = idx[:, :, 1]
+                ni = idx[:, :, 2]
+            return _assemble(pos, nor, uv, vi, ti, ni)
+        # n-gons or mixed formats: general path below
+    return _load_obj_slow(vls, vnls, vtls, fls)
+
+
+def _load_obj_slow(vls, vnls, vtls, fls) -> dict:
+    """General per-line path: n-gon fan triangulation, mixed corner
+    formats, missing components (reference: src/scene.cpp:385-411)."""
+    pos = np.asarray(
+        [[float(x) for x in l.split()[:3]] for l in vls], np.float32
+    ).reshape(-1, 3)
+    nor = np.asarray(
+        [[float(x) for x in l.split()[:3]] for l in vnls], np.float32
+    ).reshape(-1, 3)
+    uv = np.asarray(
+        [[float(x) for x in l.split()[:2]] for l in vtls], np.float32
+    ).reshape(-1, 2)
+
+    faces = []
+    for l in fls:
+        corners = []
+        for vert in l.split():
+            comp = vert.split("/")
+            vi = int(comp[0]) if comp[0] else 0
+            ti = int(comp[1]) if len(comp) > 1 and comp[1] else 0
+            ni = int(comp[2]) if len(comp) > 2 and comp[2] else 0
+            corners.append((vi, ti, ni))
+        if len(corners) >= 3:
+            faces.append(corners)
+
+    tri_idx = []
+    for corners in faces:
+        for k in range(len(corners) - 2):
+            tri_idx.append([corners[0], corners[k + 1], corners[k + 2]])
+    arr = (
+        np.asarray(tri_idx, np.int64)
+        if tri_idx
+        else np.zeros((0, 3, 3), np.int64)
+    )
+    return _assemble(pos, nor, uv, arr[:, :, 0], arr[:, :, 1], arr[:, :, 2])
