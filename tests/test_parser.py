@@ -120,3 +120,71 @@ class TestOtherScenes:
         # object 6 references material by name "spe", object 0 by id "1"
         assert scene.geoms[0].material_id == scene.material_names["1"]
         assert scene.geoms[6].material_id == scene.material_names["spe"]
+
+
+class TestObjFastPath:
+    """The vectorized OBJ fast path must agree with the general loop."""
+
+    def _write(self, tmp_path, name, body):
+        p = tmp_path / name
+        p.write_text(body)
+        return p
+
+    def test_vtn_triangles_fast_equals_slow(self, tmp_path):
+        import numpy as np
+        from pathtracer_tpu.scene import obj_loader as ol
+
+        rng = np.random.default_rng(3)
+        v = rng.normal(size=(9, 3))
+        n = rng.normal(size=(9, 3))
+        t = rng.random((9, 2))
+        lines = [f"v {a} {b} {c}" for a, b, c in v]
+        lines += [f"vn {a} {b} {c}" for a, b, c in n]
+        lines += [f"vt {a} {b}" for a, b in t]
+        lines += [f"f {i+1}/{i+1}/{i+1} {i+2}/{i+2}/{i+2} {i+3}/{i+3}/{i+3}"
+                  for i in (0, 3, 6)]
+        p = self._write(tmp_path, "vtn.obj", "\n".join(lines) + "\n")
+        fast = ol.load_obj(p)
+        vls = [l[2:] for l in lines if l.startswith("v ")]
+        vnls = [l[3:] for l in lines if l.startswith("vn ")]
+        vtls = [l[3:] for l in lines if l.startswith("vt ")]
+        fls = [l[2:] for l in lines if l.startswith("f ")]
+        slow = ol._load_obj_slow(vls, vnls, vtls, fls)
+        for k in ("positions", "normals", "uvs"):
+            np.testing.assert_allclose(fast[k], slow[k], rtol=1e-6)
+
+    def test_ngon_falls_back_to_fan(self, tmp_path):
+        import numpy as np
+        from pathtracer_tpu.scene import obj_loader as ol
+
+        body = (
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+            "f 1 2 3 4\n"  # quad -> 2 fan triangles (reference: scene.cpp:385-389)
+        )
+        m = ol.load_obj(self._write(tmp_path, "quad.obj", body))
+        assert m["positions"].shape == (2, 3, 3)
+        np.testing.assert_allclose(m["positions"][0, 0], [0, 0, 0])
+        np.testing.assert_allclose(m["positions"][1, 0], [0, 0, 0])  # fan pivot
+
+    def test_double_slash_normals(self, tmp_path):
+        import numpy as np
+        from pathtracer_tpu.scene import obj_loader as ol
+
+        body = (
+            "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+            "vn 0 0 1\nvn 0 0 1\nvn 0 0 1\n"
+            "f 1//1 2//2 3//3\n"
+        )
+        m = ol.load_obj(self._write(tmp_path, "vn.obj", body))
+        assert m["has_normals"]
+        np.testing.assert_allclose(m["normals"][0], [[0, 0, 1]] * 3)
+
+    def test_negative_indices(self, tmp_path):
+        import numpy as np
+        from pathtracer_tpu.scene import obj_loader as ol
+
+        body = "v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n"
+        m = ol.load_obj(self._write(tmp_path, "neg.obj", body))
+        np.testing.assert_allclose(
+            m["positions"][0], [[0, 0, 0], [1, 0, 0], [0, 1, 0]]
+        )
