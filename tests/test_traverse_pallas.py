@@ -192,3 +192,21 @@ class TestStreamTraversal:
             interpret=True,
         )
         np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+
+class TestPacketModeSelection:
+    def test_modes(self, soup):
+        import dataclasses
+
+        from pathtracer_tpu.ops.traverse import packet_mode
+
+        flat, static = soup
+        assert packet_mode(static) == "resident"
+        big = dataclasses.replace(
+            static, wide_nodes=10**6, num_tris=10**6, stream_subs=40
+        )
+        assert packet_mode(big) == "stream"
+        neither = dataclasses.replace(
+            static, wide_nodes=10**6, num_tris=10**6, stream_subs=0
+        )
+        assert packet_mode(neither) is None
