@@ -388,8 +388,10 @@ def build_stream_tables(bvh: FlatBVH, tri_pk: np.ndarray,
             wide, STREAM_SUB_NODES // div, STREAM_SUB_TRIS // div
         )
         T, n_sub, S = cand.num_top, cand.num_sub, cand.sub_nodes
+        from pathtracer_tpu.ops.traverse_pallas import STREAM_BUFS as B
+
         smem = (
-            T * (48 + 8 + 8) + 2 * S * (48 + 24 + 8) + 2 * cand.sub_tris * 12
+            T * (48 + 8 + 8) + B * S * (48 + 24 + 8) + B * cand.sub_tris * 12
             + T + n_sub + S + S * 8 + 256
         ) * 4
         if smem <= STREAM_SMEM_BUDGET:
