@@ -392,7 +392,11 @@ def make_render_iteration(
             d=d,
             color=jnp.ones((n, 3), jnp.float32),
             contrib=jnp.zeros((n, 3), jnp.float32),
-            env_scale=jnp.zeros((n, 3), jnp.float32),
+            # env-less scenes carry a 1-row dummy: a full (n, 3) would ride
+            # the while_loop (and the sort) for nothing
+            env_scale=jnp.zeros(
+                (n if static.env_map_id >= 0 else 1, 3), jnp.float32
+            ),
             prev_pdf=jnp.full((n,), -1.0, jnp.float32),
             remaining=jnp.full((n,), trace_depth, jnp.int32),
             alive=jnp.ones((n,), bool),
@@ -420,7 +424,11 @@ def make_render_iteration(
             d=d,
             color=jnp.ones((n, 3), jnp.float32),
             contrib=jnp.zeros((n, 3), jnp.float32),
-            env_scale=jnp.zeros((n, 3), jnp.float32),
+            # env-less scenes carry a 1-row dummy: a full (n, 3) would ride
+            # the while_loop (and the sort) for nothing
+            env_scale=jnp.zeros(
+                (n if static.env_map_id >= 0 else 1, 3), jnp.float32
+            ),
             prev_pdf=jnp.full((n,), -1.0, jnp.float32),
             remaining=jnp.full((n,), trace_depth, jnp.int32),
             alive=jnp.ones((n,), bool),
