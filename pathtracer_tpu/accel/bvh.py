@@ -556,6 +556,14 @@ def partition_stream(w: WideBVH, sub_nodes: int = 256,
             sub_bmax[s, 0, 0] = w.child_bmax[nid, slot]
             sub_start[s, 0, 0] = 0
             sub_end[s, 0, 0] = en - st
+            # identity visit order: rank 0 → the leaf in slot 0, ranks
+            # 1-7 → the NaN empty slots (prune immediately) — an all-zero
+            # perm decodes every rank to slot 0 and re-intersects the
+            # same cut 8x per pop (idempotent but wasted laps)
+            ident = 0
+            for r in range(8):
+                ident |= r << (3 * r)
+            sub_perm[s, 0, :] = np.int32(ident)
             continue
         base = int(lo[nid])
         tri_base[s] = base

@@ -120,6 +120,23 @@ class Renderer:
                 )
             )
             self.staged = False
+            # the sharded step is always fused; a triangle scene that fell
+            # back to the XLA traversal nests the BVH while_loop inside the
+            # bounce while_loop — pathological TPU compile times (the
+            # single-device path goes staged for exactly this case)
+            if (
+                self.static.num_tris > 0
+                and not self.opts.pallas_traversal
+                and jax.default_backend() != "cpu"
+            ):
+                import warnings
+
+                warnings.warn(
+                    "sharded render of a triangle scene without the Pallas "
+                    "traversal: the fused XLA BVH walk inside the bounce "
+                    "loop may compile pathologically slowly on TPU",
+                    stacklevel=2,
+                )
         else:
             builder = make_render_iteration(
                 self.static, self.opts, self.width, self.height, pixel_xy=pixel_xy

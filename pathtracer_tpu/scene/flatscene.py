@@ -311,7 +311,9 @@ def build_wide_tables(bvh: FlatBVH, leaf_k: int | None = None):
       an internal wide node, else [start, end) is a leaf triangle cut
     - wp (M*8,) i32: per-octant child visit order, 3 bits per rank
 
-    Returns (wf, wi, wp, max_depth, num_nodes, root_box).
+    Returns (wf, wi, wp, max_depth, num_nodes, root_box, wide) — the
+    WideBVH itself rides along so build_stream_tables can partition the
+    SAME tree without a rebuild (or a stale cache).
     """
     if leaf_k is None:
         leaf_k = WIDE_LEAF_K  # read at call time (benchmarks tune this)
@@ -330,8 +332,7 @@ def build_wide_tables(bvh: FlatBVH, leaf_k: int | None = None):
         )
     else:
         root = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
-    build_wide_tables._last_wide = wide  # reused by build_stream_tables
-    return wf, wi, wp, wide.max_depth, m, root
+    return wf, wi, wp, wide.max_depth, m, root, wide
 
 
 # streaming split knobs: per-block budgets + resident-kernel SMEM budget
@@ -356,7 +357,8 @@ def resident_tables_fit(num_wide_nodes: int, num_tris: int) -> bool:
 
 
 def build_stream_tables(bvh: FlatBVH, tri_pk: np.ndarray,
-                        num_wide_nodes: int, leaf_k: int):
+                        num_wide_nodes: int, leaf_k: int,
+                        wide=None):
     """Two-level streaming tables (accel/bvh.py partition_stream) for
     meshes past the resident budget; dummy (zero-subtree) tables when the
     resident kernels suffice.
@@ -376,7 +378,6 @@ def build_stream_tables(bvh: FlatBVH, tri_pk: np.ndarray,
     )
     if nt == 0 or resident_tables_fit(num_wide_nodes, nt):
         return dummy
-    wide = getattr(build_wide_tables, "_last_wide", None)
     if wide is None or wide.num_nodes != num_wide_nodes:
         wide = collapse_wide(bvh, leaf_k)
     # prefer LARGE blocks (fewer per-packet block fetches — the dominant
@@ -530,7 +531,7 @@ def build_flat_scene(
     # the wide collapse cuts leaves at spans <= leaf_k; binary leaves span
     # <= max_prim, so the cut size must be at least that
     wide_k = max(WIDE_LEAF_K, max_prim)
-    bvh_wf, bvh_wi, bvh_wp, wide_depth, wide_nodes, tri_root_box = (
+    bvh_wf, bvh_wi, bvh_wp, wide_depth, wide_nodes, tri_root_box, wide = (
         build_wide_tables(bvh, leaf_k=wide_k)
     )
     tri_pk = np.zeros((tri_data.shape[0], 12), np.float32)
@@ -541,7 +542,8 @@ def build_flat_scene(
     # kernels): the top tree stays on-chip, subtree blocks DMA from HBM
     (str_topf, str_topl, str_topp, str_subf, str_subi, str_subp, str_subt,
      str_base, stream_top, stream_subs, stream_sub_nodes, stream_sub_tris
-     ) = build_stream_tables(bvh, tri_pk, wide_nodes, leaf_k=wide_k)
+     ) = build_stream_tables(bvh, tri_pk, wide_nodes, leaf_k=wide_k,
+                             wide=wide)
 
     flat = FlatScene(
         geom_type=jnp.asarray(geom_type),

@@ -99,16 +99,25 @@ def load_obj(path: str | Path) -> dict:
 
     # fast path: uniform pure-triangle faces in one of the standard corner
     # formats (v, v/t, v//n, v/t/n)
+    fls = [l for l in fls if l.strip()]
     if fls:
         first = fls[0].split()[0]
         slashes = first.count("/")
         double = "//" in first
-        blob = " ".join(fls)
-        if "/" in blob:
-            blob = blob.replace("/", " ")
+        raw = " ".join(fls)
+        blob = raw.replace("/", " ") if "/" in raw else raw
         toks = blob.split()
         per_corner = 1 if slashes == 0 else (2 if (slashes == 1 or double) else 3)
-        if len(toks) == len(fls) * 3 * per_corner:
+        # exactly 3 corners per face AND a uniform corner format: corner-token
+        # count, total '/' count, and total '//' count must all match what the
+        # first corner's format predicts (catches mixed v/t + v//n files that
+        # would otherwise coincide on the slash-split token count)
+        uniform = (
+            len(raw.split()) == len(fls) * 3
+            and raw.count("/") == slashes * 3 * len(fls)
+            and raw.count("//") == (3 * len(fls) if double else 0)
+        )
+        if uniform and len(toks) == len(fls) * 3 * per_corner:
             try:
                 idx = np.asarray(toks, dtype=np.int64)
             except ValueError:
