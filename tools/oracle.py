@@ -229,7 +229,16 @@ def load_scene(path: str | Path) -> OScene:
                 gtype = CUBE
             else:
                 gtype = OBJ
-                objpath = tline if Path(tline).is_absolute() else str(base / tline)
+                # normalise Windows separators and probe the same roots the
+                # framework parser does (scene/parser.py _resolve_asset);
+                # missing OBJ ⇒ warn + keep the geom meshless, matching the
+                # framework (reference: src/scene.cpp:116 stores a null mesh)
+                nrm_tok = tline.replace("\\", "/")
+                cands = [Path(nrm_tok), base / nrm_tok, base.parent / nrm_tok]
+                if nrm_tok.startswith("../"):
+                    cands.append(base.parent / nrm_tok[3:])
+                cands.append(base / "model" / Path(nrm_tok).name)
+                objpath = next((str(c) for c in cands if c.is_file()), None)
             i += 1
             mtk = tok(lines[i])
             mid = mat_names.get(mtk[1], None)
@@ -256,7 +265,11 @@ def load_scene(path: str | Path) -> OScene:
                       np.linalg.inv(xf).T)
             gi = len(geoms)
             geoms.append(g)
-            if gtype == OBJ:
+            if gtype == OBJ and objpath is None:
+                import warnings
+
+                warnings.warn(f"OBJ not found, skipping mesh: {tline}")
+            elif gtype == OBJ:
                 tv, tn = _load_obj_minimal(objpath)
                 # world bake (reference: src/scene.cpp:489-493)
                 tvw = tv @ xf[:3, :3].T + xf[:3, 3]
