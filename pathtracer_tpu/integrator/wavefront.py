@@ -183,6 +183,24 @@ def make_render_iteration(
             + 4 * (state.d[:, 2] > 0).astype(jnp.int32)
         )
         key = ((octant * 8 + cell[:, 0]) * 8 + cell[:, 1]) * 8 + cell[:, 2]
+        # PACKET PURITY bit: rays whose line misses the triangle root box
+        # sort behind the hitters.  A (16,128) traversal packet walks the
+        # UNION of its reachable lanes' subtrees, so one hitter among 2047
+        # missers costs the packet a full walk; concentrating hitters means
+        # misser packets exit the Pallas kernel at lap 0 (their t sentinel
+        # is DEAD) while hitter packets do the same union work as before.
+        # Key only — per-lane reachability is still re-derived exactly
+        # (with the analytic-t budget) in ops/traverse.closest_hit.
+        if static.num_tris > 0:
+            from pathtracer_tpu.ops.intersect import ray_aabb
+
+            rb = static.tri_root_box
+            rb_hit, _ = ray_aabb(
+                jnp.array(rb[0:3], jnp.float32),
+                jnp.array(rb[3:6], jnp.float32),
+                state.o, state.d,
+            )
+            key = key + jnp.where(rb_hit, 0, 1 << 12)
         key = jnp.where(state.alive, key, jnp.int32(1 << 20))  # dead → back
         # ONE multi-operand lax.sort carrying every per-ray field as 1D
         # columns: payloads ride the sort network, so there are no (N, 3)
@@ -212,7 +230,8 @@ def make_render_iteration(
             env_scale=st3(17) if static.env_map_id >= 0 else state.env_scale,
         )
 
-    def bounce_body(flat: FlatScene, key, iteration, pixel0, state: _BounceState):
+    def bounce_body(flat: FlatScene, key, iteration, pixel0, state: _BounceState,
+                    pool_n: int = n):
         depth = state.depth
         if sort_rays:
             # the sort costs ~6-7 ms/bounce at 640k lanes no matter how
@@ -223,7 +242,7 @@ def make_render_iteration(
             # Results are bit-identical either way: RNG keys on lane and
             # contributions ride the ray.
             worth_it = (depth == 0) | (
-                jnp.sum(state.alive.astype(jnp.int32)) * 4 > n
+                jnp.sum(state.alive.astype(jnp.int32)) * 4 > pool_n
             )
             state = jax.lax.cond(
                 worth_it, lambda s: _sort_state(flat, s), lambda s: s, state
@@ -408,9 +427,68 @@ def make_render_iteration(
         def cond(s: _BounceState):
             return jnp.any(s.alive) & (s.depth < trace_depth + 1)
 
-        state = jax.lax.while_loop(
-            cond, partial(bounce_body, flat, key, iteration, pixel0), state
+        # straggler-phase pool shrink: packet kernels cost per-PACKET, so a
+        # mostly-dead 640k pool still pays ~313 packet launches per bounce.
+        # Phase A runs the full pool while >25% of lanes are alive; the
+        # survivors are then sorted to the front (the existing alive-major
+        # key) and the remaining bounces run in a statically-shaped quarter
+        # pool.  Bit-identical: RNG keys on lane, contributions ride the
+        # ray, and the merged state un-permutes in finish_state as usual.
+        tile = max(int(opts.packet_rows), 1) * 128
+        n_small = -((-(n // 4)) // tile) * tile  # ceil(n/4) to packet tile
+        do_pool_shrink = (
+            bool(opts.pool_shrink) and sort_rays and 0 < n_small < n
         )
+        if not do_pool_shrink:
+            state = jax.lax.while_loop(
+                cond, partial(bounce_body, flat, key, iteration, pixel0), state
+            )
+        else:
+            def cond_a(s: _BounceState):
+                return cond(s) & (
+                    jnp.sum(s.alive.astype(jnp.int32)) * 4 > n
+                )
+
+            state = jax.lax.while_loop(
+                cond_a, partial(bounce_body, flat, key, iteration, pixel0),
+                state,
+            )
+
+            def shrink_phase(s: _BounceState) -> _BounceState:
+                s = _sort_state(flat, s)  # live lanes to the front
+                cut = lambda a: a[:n_small] if a.shape[0] == n else a
+                small = s._replace(
+                    o=cut(s.o), d=cut(s.d), color=cut(s.color),
+                    contrib=cut(s.contrib), env_scale=cut(s.env_scale),
+                    prev_pdf=cut(s.prev_pdf), remaining=cut(s.remaining),
+                    alive=cut(s.alive), lane=cut(s.lane),
+                )
+                small = jax.lax.while_loop(
+                    cond,
+                    partial(bounce_body, flat, key, iteration, pixel0,
+                            pool_n=n_small),
+                    small,
+                )
+                cat = lambda sm, fu: (
+                    jnp.concatenate([sm, fu[n_small:]], axis=0)
+                    if fu.shape[0] == n else sm
+                )
+                return s._replace(
+                    depth=small.depth,
+                    o=cat(small.o, s.o), d=cat(small.d, s.d),
+                    color=cat(small.color, s.color),
+                    contrib=cat(small.contrib, s.contrib),
+                    env_scale=cat(small.env_scale, s.env_scale),
+                    prev_pdf=cat(small.prev_pdf, s.prev_pdf),
+                    remaining=cat(small.remaining, s.remaining),
+                    alive=cat(small.alive, s.alive),
+                    lane=cat(small.lane, s.lane),
+                    rays_traced=small.rays_traced,
+                )
+
+            state = jax.lax.cond(
+                jnp.any(state.alive), shrink_phase, lambda s: s, state
+            )
         return finish_state(state, flat), state.rays_traced, state.depth
 
     def start_state(flat: FlatScene, cam: CameraArrays, img, iteration, key, pixel0=0):

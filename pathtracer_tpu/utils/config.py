@@ -55,6 +55,12 @@ class RenderOptions:
     # the round-1 cost concern is gone: the sort is ONE multi-operand
     # lax.sort over 1D columns (no (N,3) row gathers) and the image
     # scatter-add happens once per ITERATION (contrib rides the ray).
+    pool_shrink: bool = True      # straggler-phase pool compaction: once
+    # <25% of lanes are alive, the live rays are sorted to the front and
+    # the remaining bounces run in a statically-shaped quarter pool (4x
+    # fewer traversal packets for the long straggler tail).  Lane-keyed
+    # RNG + ride-the-ray accumulation make it bit-identical to the
+    # full-pool render (tests enforce).
     packet_p: int = 2             # wide-kernel stack pops per while-lap
     packet_q: int = 4             # wide-kernel leaf drains per while-lap
     packet_rows: int = 8          # packet shape: rows x 128 rays

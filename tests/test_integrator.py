@@ -257,3 +257,41 @@ class TestCrossModeConsistency:
     def test_nonzero_indirect(self, images):
         img = images[SampleMode.MIS]
         assert img.mean() > 0.02
+
+
+class TestSortedPoolEquivalence:
+    """The per-bounce ray sort (with its packet-purity root-box key bit)
+    and the straggler-phase pool shrink are pure reorderings: RNG keys on
+    lane and contributions ride the ray, so both must be BIT-identical to
+    the unsorted render (scenes with >=512 tris activate them)."""
+
+    @pytest.fixture(scope="class")
+    def images(self, tmp_path_factory):
+        from dataclasses import replace
+
+        from tests.test_traverse import tri_soup_scene
+
+        tmp = tmp_path_factory.mktemp("sortpool")
+        scene = tri_soup_scene(tmp, n=600)
+        # packet_rows=1 makes the quarter-pool tile (rows*128) divide the
+        # tiny 64x32 test pool so the shrink phase genuinely runs (the
+        # soup drops to <3% alive after one bounce)
+        base = RenderOptions(
+            sample_mode=SampleMode.MIS, tonemapping=False, packet_rows=1
+        )
+        out = {}
+        for name, o in {
+            "unsorted": replace(base, compaction=False),
+            "sorted": replace(base, pool_shrink=False),
+            "shrunk": base,
+        }.items():
+            r = Renderer(scene, opts=o, resolution=(64, 32), trace_depth=6)
+            r.step(2)
+            out[name] = np.asarray(r.img)
+        return out
+
+    def test_sorted_bit_identical(self, images):
+        np.testing.assert_array_equal(images["unsorted"], images["sorted"])
+
+    def test_shrunk_bit_identical(self, images):
+        np.testing.assert_array_equal(images["unsorted"], images["shrunk"])
