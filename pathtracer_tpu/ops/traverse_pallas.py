@@ -78,15 +78,13 @@ def _aabb_packet(nf, ox, oy, oz, idx, idy, idz):
 
 
 def _moller_trumbore(trow, ox, oy, oz, dx, dy, dz):
-    """Packet Möller–Trumbore for one triangle row (reference:
-    src/Bounds3.hpp:298-326).  Returns (hit, t, u, v)."""
+    """Packet Möller–Trumbore for one EDGE-FORM triangle row
+    [v0, e1, e2] (scene/flatscene.py precomputes e1/e2 in f32, bitwise
+    equal to subtracting here; reference: src/Bounds3.hpp:298-326).
+    Returns (hit, t, u, v)."""
     v0x, v0y, v0z = trow[0], trow[1], trow[2]
-    e1x = trow[3] - v0x
-    e1y = trow[4] - v0y
-    e1z = trow[5] - v0z
-    e2x = trow[6] - v0x
-    e2y = trow[7] - v0y
-    e2z = trow[8] - v0z
+    e1x, e1y, e1z = trow[3], trow[4], trow[5]
+    e2x, e2y, e2z = trow[6], trow[7], trow[8]
     # pvec = d × e2
     px = dy * e2z - dz * e2y
     py = dz * e2x - dx * e2z

@@ -74,10 +74,10 @@ def sim_packet(o, dirs, t0):
                     continue
                 leaves += 1
                 tri_tests += e - s
-                rows = tri[s:e]
+                rows = tri[s:e]  # EDGE-FORM rows: [v0, e1, e2] (flatscene)
                 v0 = rows[:, 0:3]
-                e1 = rows[:, 3:6] - v0
-                e2 = rows[:, 6:9] - v0
+                e1 = rows[:, 3:6]
+                e2 = rows[:, 6:9]
                 p = np.cross(dirs[:, None, :], e2[None, :, :])
                 det = (e1[None] * p).sum(-1)
                 with np.errstate(invalid="ignore", divide="ignore"):
