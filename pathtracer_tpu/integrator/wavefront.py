@@ -165,6 +165,9 @@ def make_render_iteration(
     # sort itself is one multi-operand lax.sort (~46 ms at 640k rays);
     # worth it only when the mesh makes traversal expensive
     sort_rays = bool(opts.compaction) and static.num_tris >= 512
+    # dedicated shadow-ray re-sort inside the occlusion pass (packet
+    # purity for the any-hit kernel); only pays on mesh scenes
+    shadow_sort = bool(getattr(opts, "shadow_sort", False)) and sort_rays
     env_nee = bool(opts.env_importance) and static.env_map_id >= 0
     # pool→pixel map (spatial swizzle for packet coherence); identity when
     # pixel_xy is None
@@ -301,7 +304,7 @@ def make_render_iteration(
             # delta (dielectric) lanes: bsdf_eval ≡ 0, so their NEE term is
             # zero — skip their shadow rays entirely (output-identical)
             nee_on = alive & ~is_light & ~is_delta
-            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=nee_on, interpret=interp)
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=nee_on, interpret=interp, shadow_sort=shadow_sort)
             rays_traced = rays_traced + jnp.sum(nee_on.astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             bsdf = bsdf_eval(params, nrm, state.d, wi, present=static.material_types)
@@ -355,7 +358,7 @@ def make_render_iteration(
             li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
             # the NEE term is masked to cont & ~is_delta below; skipping the
             # other lanes' shadow rays in the kernel is output-identical
-            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=cont & ~is_delta, interpret=interp)
+            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=cont & ~is_delta, interpret=interp, shadow_sort=shadow_sort)
             rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             b_pdf = pdf_eval(params, nrm, state.d, wi, present=static.material_types)

@@ -103,7 +103,7 @@ def light_sample(
     flat: FlatScene, static: SceneStatic, view_pos, rands,
     use_pallas: bool = False, include_env: bool = False,
     use_bvh: bool = True, knobs: tuple = (2, 4, 8), enabled=None,
-    interpret: bool = False,
+    interpret: bool = False, shadow_sort: bool = False,
 ) -> LightSampleRecord:
     """Sample one light per ray, with occlusion.
 
@@ -190,7 +190,7 @@ def light_sample(
     occ = occlusion_test(
         flat, static, view_pos + 1e-5 * ray_dir, ray_dir, light_pos,
         enabled=occ_on, use_pallas=use_pallas, use_bvh=use_bvh, knobs=knobs,
-        interpret=interpret,
+        interpret=interpret, shadow_sort=shadow_sort,
     )
     pdf = jnp.where(occ, -1.0, pdf)
     emit = jnp.where(occ[..., None], 0.0, emit)

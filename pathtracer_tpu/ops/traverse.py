@@ -295,7 +295,7 @@ def closest_hit(
 def occlusion_test(
     flat: FlatScene, static: SceneStatic, ori, dir, des, enabled=None,
     use_pallas: bool = False, use_bvh: bool = True, knobs: tuple = (2, 4, 8),
-    interpret: bool = False,
+    interpret: bool = False, shadow_sort: bool = False,
 ):
     """Shadow query: is the segment ori→des blocked?
 
@@ -359,6 +359,39 @@ def occlusion_test(
         )
         reachable = rb_hit & (rb_enter <= min_t_eff)
         min_t_eff = jnp.where(reachable, min_t_eff, DEAD_T)
+        unsort_lane = None
+        if shadow_sort:
+            # PACKET PURITY for the shadow pass: the pool order is the
+            # CLOSEST ray's sort key, so disabled/unreachable shadow lanes
+            # are scattered and every packet pays a full any-hit walk.
+            # Re-sort the shadow rays (disabled lanes to the back, then
+            # light-direction octant + origin cell) and un-permute the
+            # boolean result afterwards — pure reordering, output-identical.
+            sb = static.scene_bounds
+            bmin = jnp.array(sb[0:3], jnp.float32)
+            inv_ext = 7.999 / jnp.maximum(
+                jnp.array(sb[3:6], jnp.float32) - bmin, 1e-6
+            )
+            cell = jnp.clip((ori - bmin) * inv_ext, 0.0, 7.999).astype(jnp.int32)
+            octant = (
+                (dir[:, 0] > 0).astype(jnp.int32)
+                + 2 * (dir[:, 1] > 0).astype(jnp.int32)
+                + 4 * (dir[:, 2] > 0).astype(jnp.int32)
+            )
+            skey = ((octant * 8 + cell[:, 0]) * 8 + cell[:, 1]) * 8 + cell[:, 2]
+            skey = jnp.where(min_t_eff <= DEAD_T, jnp.int32(1 << 20), skey)
+            lane0 = jnp.arange(N, dtype=jnp.int32)
+            out = jax.lax.sort(
+                (skey, ori[:, 0], ori[:, 1], ori[:, 2],
+                 dir[:, 0], dir[:, 1], dir[:, 2], min_t_eff,
+                 occluded.astype(jnp.int32), lane0),
+                num_keys=1, is_stable=True,
+            )
+            ori = jnp.stack(out[1:4], axis=1)
+            dir = jnp.stack(out[4:7], axis=1)
+            min_t_eff = out[7]
+            occluded = out[8].astype(bool)
+            unsort_lane = out[9]
         if mode == "stream":
             occluded = occlusion_stream_pallas(
                 flat.str_topf, flat.str_topl, flat.str_topp,
@@ -377,6 +410,11 @@ def occlusion_test(
                 p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
                 interpret=interpret,
             )
+        if unsort_lane is not None:
+            out = jax.lax.sort(
+                (unsort_lane, occluded.astype(jnp.int32)), num_keys=1
+            )
+            occluded = out[1].astype(bool)
         return occluded
 
     if static.num_tris > 0:

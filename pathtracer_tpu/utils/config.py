@@ -61,6 +61,9 @@ class RenderOptions:
     # fewer traversal packets for the long straggler tail).  Lane-keyed
     # RNG + ride-the-ray accumulation make it bit-identical to the
     # full-pool render (tests enforce).
+    shadow_sort: bool = False     # re-sort shadow rays inside the
+    # occlusion pass (packet purity for the any-hit kernel); measured
+    # per-scene — see tools/bench_r3.py
     packet_p: int = 2             # wide-kernel stack pops per while-lap
     packet_q: int = 4             # wide-kernel leaf drains per while-lap
     packet_rows: int = 8          # packet shape: rows x 128 rays
