@@ -27,9 +27,11 @@ JOBS = {
 
 names = sys.argv[1:] or list(JOBS)
 for name in names:
-    path, mode, spp = JOBS[name]
+    shadow = name.endswith("+ss")
+    job = name[:-3] if shadow else name
+    path, mode, spp = JOBS[job]
     t0 = time.time()
-    r = Renderer(path, opts=RenderOptions(sample_mode=mode))
+    r = Renderer(path, opts=RenderOptions(sample_mode=mode, shadow_sort=shadow))
     r.step(2)
     compile_s = time.time() - t0
     r.stats.wall_seconds = 0.0

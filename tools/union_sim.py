@@ -107,6 +107,21 @@ def run(K, mode, o, dirs, t0, sample=4):
             axis = np.argmax(ad, axis=1)
             key = ((octant * 8 + cell[:, 0]) * 8 + cell[:, 1]) * 8 + cell[:, 2]
             key = key * 4 + axis
+        elif mode == "sort16":
+            # 16^3 origin cells (morton-interleaved), octant-major
+            c16 = np.clip(
+                (o - sb[0:3]) / np.maximum(sb[3:6] - sb[0:3], 1e-6) * 15.999,
+                0, 15.999,
+            ).astype(np.int64)
+            m = np.zeros(len(o), np.int64)
+            for bit in range(4):
+                for ax in range(3):
+                    m |= ((c16[:, ax] >> bit) & 1) << (3 * bit + ax)
+            key = octant * 4096 + m
+        elif mode == "cellmaj":
+            # cell-major, octant minor: spatial purity beats direction
+            key = (((cell[:, 0] * 8 + cell[:, 1]) * 8 + cell[:, 2]) * 8
+                   + octant)
         else:
             key = ((octant * 8 + cell[:, 0]) * 8 + cell[:, 1]) * 8 + cell[:, 2]
         key = np.where(t0 > -1e37, key, 1 << 24)
@@ -133,7 +148,11 @@ def run(K, mode, o, dirs, t0, sample=4):
 
 
 Ks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [2048, 1024, 512, 256]
-modes = ["raw", "sort", "sortdir"]
+modes = (
+    ["raw", "sort", "sortdir"]
+    if "--classic" in sys.argv
+    else ["sort", "sort16", "cellmaj"]
+)
 print(f"{'b':>2} {'K':>5} {'mode':>7} {'visits':>8} {'leaves':>8} "
       f"{'tritst':>8} {'work/ray':>9}")
 for b in range(NB):
