@@ -52,7 +52,7 @@ from pathtracer_tpu.ops.materials import (
 from pathtracer_tpu.ops.texture import bilinear_sample_u32
 from pathtracer_tpu.ops.traverse import closest_hit
 from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
-from pathtracer_tpu.scene.parser import DIELECTRIC, LIGHT
+from pathtracer_tpu.scene.parser import DIELECTRIC, LIGHT, SPHERE
 from pathtracer_tpu.utils import rng
 from pathtracer_tpu.utils.config import RenderOptions, SampleMode
 
@@ -169,6 +169,20 @@ def make_render_iteration(
     # purity for the any-hit kernel); only pays on mesh scenes
     shadow_sort = bool(getattr(opts, "shadow_sort", False)) and sort_rays
     env_nee = bool(opts.env_importance) and static.env_map_id >= 0
+    # Is NEE capable of a nonzero contribution AT ALL in this scene?  The
+    # reference's lightSample has branches only for triangle and sphere
+    # lights — CUBE area lights are listed but never sampled (pdf stays 0,
+    # reference: src/lightSample.h:186-234), so a scene whose lights are
+    # all cubes (classic cornell) does provably-zero NEE work every
+    # bounce: light pick, cone/area math, a full shadow-occlusion pass,
+    # and two BSDF dispatches, all multiplied by emit == 0.  Compile the
+    # whole block out statically (output-identical; the MIS light-hit
+    # weighting via light_pdf is unaffected and stays).
+    nee_live = (
+        static.num_lights > len(static.analytic_lights)  # triangle lights
+        or any(g == SPHERE for (_, _, g) in static.analytic_lights)
+        or env_nee
+    )
     # pool→pixel map (spatial swizzle for packet coherence); identity when
     # pixel_xy is None
     xs_ys = pixel_xy
@@ -300,26 +314,34 @@ def make_render_iteration(
 
         if mode == SampleMode.DIRECT_LI:
             # reference: src/pathtrace.cu:348-403 — one NEE bounce, then stop
-            li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
-            # delta (dielectric) lanes: bsdf_eval ≡ 0, so their NEE term is
-            # zero — skip their shadow rays entirely (output-identical)
-            nee_on = alive & ~is_light & ~is_delta
-            lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=nee_on, interpret=interp, shadow_sort=shadow_sort)
-            rays_traced = rays_traced + jnp.sum(nee_on.astype(jnp.int32))
-            wi = m.normalize(lrec.pos - hit.point)
-            bsdf = bsdf_eval(params, nrm, state.d, wi, present=static.material_types)
-            nee = (
-                state.color
-                * bsdf
-                * lrec.emit
-                * (jnp.maximum(m.dot(wi, nrm), 0.0) / lrec.pdf)[..., None]
-            )
             add_light = alive & is_light
-            add_nee = alive & ~is_light & (lrec.pdf > 0.0)
             contrib = contrib + jnp.where(
                 add_light[..., None], m.process_nan(state.color * params.emit), 0.0
             )
-            contrib = contrib + jnp.where(add_nee[..., None], m.process_nan(nee), 0.0)
+            # rays_traced follows the REFERENCE's shadow-ray issuance rule
+            # (bench convention "rays as the reference would issue them"):
+            # DirectLi calls lightSample for every non-light hit and
+            # occulusionTest runs unconditionally — even when the picked
+            # light is an unsampleable cube (reference:
+            # src/lightSample.h:238).  Delta lanes get no NEE in the
+            # reference either, so those stay uncounted.
+            nee_on = alive & ~is_light & ~is_delta
+            rays_traced = rays_traced + jnp.sum(nee_on.astype(jnp.int32))
+            if nee_live:  # provably-zero NEE compiled out otherwise
+                li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
+                # delta (dielectric) lanes: bsdf_eval ≡ 0, so their NEE term
+                # is zero — skip their shadow rays entirely (output-identical)
+                lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=nee_on, interpret=interp, shadow_sort=shadow_sort)
+                wi = m.normalize(lrec.pos - hit.point)
+                bsdf = bsdf_eval(params, nrm, state.d, wi, present=static.material_types)
+                nee = (
+                    state.color
+                    * bsdf
+                    * lrec.emit
+                    * (jnp.maximum(m.dot(wi, nrm), 0.0) / lrec.pdf)[..., None]
+                )
+                add_nee = alive & ~is_light & (lrec.pdf > 0.0)
+                contrib = contrib + jnp.where(add_nee[..., None], m.process_nan(nee), 0.0)
             return _BounceState(
                 depth + 1,
                 state.o,
@@ -353,13 +375,20 @@ def make_render_iteration(
 
         cont = alive & pdf_ok & ~is_light
 
-        # --- NEE term (MIS only, non-delta) ---
+        # --- NEE term (MIS only, non-delta; compiled out when no
+        # sampleable light exists — cube-light-only scenes) ---
         if mode == SampleMode.MIS:
+            # reference-issuance shadow-ray count (see DirectLi note
+            # above): MisPTkernel runs lightSample + its unconditional
+            # occulusionTest for every continuing non-delta lane
+            # (reference: src/pathtrace.cu:560-571, lightSample.h:238),
+            # whether or not we statically resolved the term to zero
+            rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
+        if mode == SampleMode.MIS and nee_live:
             li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
             # the NEE term is masked to cont & ~is_delta below; skipping the
             # other lanes' shadow rays in the kernel is output-identical
             lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=cont & ~is_delta, interpret=interp, shadow_sort=shadow_sort)
-            rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
             wi = m.normalize(lrec.pos - hit.point)
             b_pdf = pdf_eval(params, nrm, state.d, wi, present=static.material_types)
             li_bsdf = bsdf_eval(params, nrm, state.d, wi, present=static.material_types)
