@@ -24,6 +24,7 @@ SCENES = [
     ("cornell", "/root/reference/scenes/cornell.txt", "bsdf", 32, None),
     ("cornell_mis", "/root/reference/scenes/cornell.txt", "mis", 16, None),
     ("glassbunny", str(_HERE / "scenes/glassbunny.txt"), "mis", 8, None),
+    ("envbunny", str(_HERE / "scenes/envbunny.txt"), "mis", 4, None),
 ]
 
 

@@ -93,9 +93,25 @@ def sim_packet(o, dirs, t0):
     return visits, leaves, tri_tests
 
 
-def run(K, mode, o, dirs, t0, sample=4):
+def _sort_key(o, dirs, t0):
+    sb = np.asarray(static.scene_bounds, np.float32)
+    cell = np.clip(
+        (o - sb[0:3]) / np.maximum(sb[3:6] - sb[0:3], 1e-6) * 7.999, 0, 7.999
+    ).astype(np.int64)
+    octant = (dirs[:, 0] > 0) + 2 * (dirs[:, 1] > 0) + 4 * (dirs[:, 2] > 0)
+    key = ((octant * 8 + cell[:, 0]) * 8 + cell[:, 1]) * 8 + cell[:, 2]
+    return np.where(t0 > -1e37, key, 1 << 24)
+
+
+def run(K, mode, o, dirs, t0, sample=4, prev=None):
     n = o.shape[0]
-    if mode != "raw":
+    if mode == "stale":
+        # order by the PREVIOUS bounce's sort key (sort-every-other-bounce
+        # model: this bounce reuses last bounce's permutation)
+        po, pd, pt = prev
+        perm = np.argsort(_sort_key(po, pd, pt), kind="stable")
+        o, dirs, t0 = o[perm], dirs[perm], t0[perm]
+    elif mode != "raw":
         sb = np.asarray(static.scene_bounds, np.float32)
         cell = np.clip(
             (o - sb[0:3]) / np.maximum(sb[3:6] - sb[0:3], 1e-6) * 7.999, 0, 7.999
@@ -153,13 +169,21 @@ modes = (
     if "--classic" in sys.argv
     else ["sort", "sort16", "cellmaj"]
 )
+if "--stale" in sys.argv:
+    modes = ["sort", "stale"]
 print(f"{'b':>2} {'K':>5} {'mode':>7} {'visits':>8} {'leaves':>8} "
       f"{'tritst':>8} {'work/ray':>9}")
 for b in range(NB):
     o, dirs, t0 = d[f"o{b}"], d[f"d{b}"], d[f"t{b}"]
     for K in Ks:
         for mode in modes:
-            r = run(K, mode, o, dirs, t0)
+            if mode == "stale":
+                if b == 0:
+                    continue
+                prev = (d[f"o{b-1}"], d[f"d{b-1}"], d[f"t{b-1}"])
+                r = run(K, mode, o, dirs, t0, prev=prev)
+            else:
+                r = run(K, mode, o, dirs, t0)
             if r is None:
                 continue
             v, l, tt, w, npk, dead = r
