@@ -461,66 +461,70 @@ def make_render_iteration(
 
         # straggler-phase pool shrink: packet kernels cost per-PACKET, so a
         # mostly-dead 640k pool still pays ~313 packet launches per bounce.
-        # Phase A runs the full pool while >25% of lanes are alive; the
-        # survivors are then sorted to the front (the existing alive-major
-        # key) and the remaining bounces run in a statically-shaped quarter
-        # pool.  Bit-identical: RNG keys on lane, contributions ride the
-        # ray, and the merged state un-permutes in finish_state as usual.
+        # Each phase runs its pool while >25% of its lanes are alive; on
+        # exit the survivors are sorted to the front (the existing
+        # alive-major key) and the remaining bounces run in the next
+        # statically-shaped pool (quarter, then sixteenth — straggler
+        # tails on env scenes sit at a few % liveness for most of the
+        # depth budget).  Bit-identical: RNG keys on lane, contributions
+        # ride the ray, and the merged state un-permutes in finish_state.
         tile = max(int(opts.packet_rows), 1) * 128
-        n_small = -((-(n // 4)) // tile) * tile  # ceil(n/4) to packet tile
-        do_pool_shrink = (
-            bool(opts.pool_shrink) and sort_rays and 0 < n_small < n
-        )
-        if not do_pool_shrink:
-            state = jax.lax.while_loop(
-                cond, partial(bounce_body, flat, key, iteration, pixel0), state
-            )
-        else:
-            def cond_a(s: _BounceState):
-                return cond(s) & (
-                    jnp.sum(s.alive.astype(jnp.int32)) * 4 > n
+        ceil_tile = lambda v: -((-v) // tile) * tile
+        sizes: list[int] = []
+        cur = n
+        while bool(opts.pool_shrink) and sort_rays and len(sizes) < 2:
+            nxt = ceil_tile(max(cur // 4, 1))
+            if not 0 < nxt < cur:
+                break
+            sizes.append(nxt)
+            cur = nxt
+
+        def run_pool(s: _BounceState, pool_n: int, next_sizes) -> _BounceState:
+            body = partial(bounce_body, flat, key, iteration, pixel0,
+                           pool_n=pool_n)
+            if not next_sizes:
+                return jax.lax.while_loop(cond, body, s)
+            nxt = next_sizes[0]
+
+            def cond_l(st: _BounceState):
+                return cond(st) & (
+                    jnp.sum(st.alive.astype(jnp.int32)) * 4 > pool_n
                 )
 
-            state = jax.lax.while_loop(
-                cond_a, partial(bounce_body, flat, key, iteration, pixel0),
-                state,
-            )
+            s = jax.lax.while_loop(cond_l, body, s)
 
-            def shrink_phase(s: _BounceState) -> _BounceState:
-                s = _sort_state(flat, s)  # live lanes to the front
-                cut = lambda a: a[:n_small] if a.shape[0] == n else a
-                small = s._replace(
-                    o=cut(s.o), d=cut(s.d), color=cut(s.color),
-                    contrib=cut(s.contrib), env_scale=cut(s.env_scale),
-                    prev_pdf=cut(s.prev_pdf), remaining=cut(s.remaining),
-                    alive=cut(s.alive), lane=cut(s.lane),
+            def shrink_phase(st: _BounceState) -> _BounceState:
+                st = _sort_state(flat, st)  # live lanes to the front
+                cut = lambda a: a[:nxt] if a.shape[0] == pool_n else a
+                small = st._replace(
+                    o=cut(st.o), d=cut(st.d), color=cut(st.color),
+                    contrib=cut(st.contrib), env_scale=cut(st.env_scale),
+                    prev_pdf=cut(st.prev_pdf), remaining=cut(st.remaining),
+                    alive=cut(st.alive), lane=cut(st.lane),
                 )
-                small = jax.lax.while_loop(
-                    cond,
-                    partial(bounce_body, flat, key, iteration, pixel0,
-                            pool_n=n_small),
-                    small,
-                )
+                small = run_pool(small, nxt, next_sizes[1:])
                 cat = lambda sm, fu: (
-                    jnp.concatenate([sm, fu[n_small:]], axis=0)
-                    if fu.shape[0] == n else sm
+                    jnp.concatenate([sm, fu[nxt:]], axis=0)
+                    if fu.shape[0] == pool_n else sm
                 )
-                return s._replace(
+                return st._replace(
                     depth=small.depth,
-                    o=cat(small.o, s.o), d=cat(small.d, s.d),
-                    color=cat(small.color, s.color),
-                    contrib=cat(small.contrib, s.contrib),
-                    env_scale=cat(small.env_scale, s.env_scale),
-                    prev_pdf=cat(small.prev_pdf, s.prev_pdf),
-                    remaining=cat(small.remaining, s.remaining),
-                    alive=cat(small.alive, s.alive),
-                    lane=cat(small.lane, s.lane),
+                    o=cat(small.o, st.o), d=cat(small.d, st.d),
+                    color=cat(small.color, st.color),
+                    contrib=cat(small.contrib, st.contrib),
+                    env_scale=cat(small.env_scale, st.env_scale),
+                    prev_pdf=cat(small.prev_pdf, st.prev_pdf),
+                    remaining=cat(small.remaining, st.remaining),
+                    alive=cat(small.alive, st.alive),
+                    lane=cat(small.lane, st.lane),
                     rays_traced=small.rays_traced,
                 )
 
-            state = jax.lax.cond(
-                jnp.any(state.alive), shrink_phase, lambda s: s, state
+            return jax.lax.cond(
+                jnp.any(s.alive), shrink_phase, lambda st: st, s
             )
+
+        state = run_pool(state, n, sizes)
         return finish_state(state, flat), state.rays_traced, state.depth
 
     def start_state(flat: FlatScene, cam: CameraArrays, img, iteration, key, pixel0=0):
