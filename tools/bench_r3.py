@@ -22,6 +22,7 @@ JOBS = {
     "glassbunny": ("scenes/glassbunny.txt", SampleMode.MIS, 8),
     "envbunny": ("scenes/envbunny.txt", SampleMode.MIS, 4),
     "bigbunny160k": ("/tmp/bigbunny160k.txt", SampleMode.MIS, 4),
+    "bigbunny640k": ("/tmp/bigbunny640k.txt", SampleMode.MIS, 2),
     "texturecube": ("scenes/texturecube.txt", SampleMode.MIS, 8),
 }
 

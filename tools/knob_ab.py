@@ -6,7 +6,7 @@ lap-count tradeoff (rows=16 halves packet count for ~15% union growth in
 tools/union_sim.py), so the optimum may have moved.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/knob_ab.py \
-    [scene] P,Q,ROWS [P,Q,ROWS ...]
+    [scene] P,Q,ROWS[,LEAF_K] [P,Q,ROWS[,LEAF_K] ...]
 """
 import json
 import sys
@@ -16,6 +16,7 @@ from pathtracer_tpu.utils import jaxcache
 
 jaxcache.enable()
 
+import pathtracer_tpu.scene.flatscene as fs
 from pathtracer_tpu.integrator.render import Renderer
 from pathtracer_tpu.utils.config import RenderOptions, SampleMode
 
@@ -29,7 +30,9 @@ configs = [tuple(map(int, a.split(","))) for a in args] or [
 ]
 spp = 8
 
-for (P, Q, R) in configs:
+for cfg in configs:
+    (P, Q, R), K = cfg[:3], (cfg[3] if len(cfg) > 3 else 8)
+    fs.WIDE_LEAF_K = K
     t0 = time.time()
     r = Renderer(scene, opts=RenderOptions(
         sample_mode=SampleMode.MIS, packet_p=P, packet_q=Q, packet_rows=R,
@@ -40,7 +43,7 @@ for (P, Q, R) in configs:
     r.stats.rays_traced = 0
     stats = r.step(spp)
     print(json.dumps({
-        "scene": scene, "P": P, "Q": Q, "rows": R, "spp": spp,
+        "scene": scene, "P": P, "Q": Q, "rows": R, "leaf_k": K, "spp": spp,
         "compile_s": round(compile_s, 1),
         "wall_seconds": round(stats.wall_seconds, 4),
         "mrays_per_sec": round(stats.mrays_per_sec, 3),

@@ -22,6 +22,10 @@ jax.config.update("jax_platforms", "cpu")
 import pathtracer_tpu.scene.flatscene as fs
 
 fs.WIDE_LEAF_K = 8
+for _a in list(sys.argv[1:]):
+    if _a.startswith("--leafk="):
+        fs.WIDE_LEAF_K = int(_a.split("=")[1])
+        sys.argv.remove(_a)
 
 from pathtracer_tpu.scene.flatscene import build_flat_scene
 from pathtracer_tpu.scene.parser import load_scene
@@ -171,6 +175,8 @@ modes = (
 )
 if "--stale" in sys.argv:
     modes = ["sort", "stale"]
+if "--sortonly" in sys.argv:
+    modes = ["sort"]
 print(f"{'b':>2} {'K':>5} {'mode':>7} {'visits':>8} {'leaves':>8} "
       f"{'tritst':>8} {'work/ray':>9}")
 for b in range(NB):
