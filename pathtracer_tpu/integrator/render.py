@@ -90,14 +90,30 @@ class Renderer:
         # on-chip table budgets; fall back to the XLA lockstep walk else.
         from pathtracer_tpu.ops.traverse import _packet_tables_fit
 
+        from dataclasses import replace as _dc_replace
+        from pathtracer_tpu.ops.traverse import packet_mode
+
+        # scene-class packet-knob auto-tune (see RenderOptions.packet_auto)
+        if (
+            self.opts.packet_auto
+            and self.opts.pallas_traversal
+            and (self.opts.packet_p, self.opts.packet_q, self.opts.packet_rows)
+            == (2, 4, 8)
+            and self.static.num_tris > 0
+            and packet_mode(self.static) == "resident"
+            and self.static.env_map_id < 0
+            and not self.static.has_textures
+        ):
+            self.opts = _dc_replace(
+                self.opts, packet_p=4, packet_q=8, packet_rows=16
+            )
         if self.opts.pallas_traversal and (
             (jax.default_backend() == "cpu" and not self.opts.interpret)
             or not _packet_tables_fit(self.flat, self.static)
         ):
-            from dataclasses import replace as _dc_replace
-
             self.opts = _dc_replace(self.opts, pallas_traversal=False)
         self.devices = int(devices) if devices else 1
+        self._k = 1  # iterations per dispatch (fused single-device only)
         # spatial swizzle: lane l renders pixel pixel_order[l] so traversal
         # packets cover square 32x32 blocks instead of 800x1.3 row strips
         # (2.3x faster packet traversal); image is unswizzled at readout.
@@ -154,6 +170,31 @@ class Renderer:
                 self._finish_fn = jax.jit(builder.finish_state)
             else:
                 self._iter_fn = jax.jit(builder)
+                # iteration batching: the remote backend costs ~10-30 ms
+                # of dispatch latency per step() iteration that async
+                # pipelining does not hide (tools/dispatch_probe.py), so
+                # fast analytic iterations are dispatch-bound.  Batch k
+                # iterations per jit call as k SEQUENTIAL bounce loops
+                # (not nested — rule-5 safe).  Bit-identical: RNG keys on
+                # (iteration, lane); the probe asserts exact equality.
+                k = int(self.opts.iters_per_dispatch) or (
+                    8 if self.static.num_tris == 0 else 1
+                )
+                self._k = max(k, 1)
+                if self._k > 1:
+                    kk = self._k
+
+                    def _body_k(flat, cam, img, it0, key):
+                        rays = jnp.float32(0)
+                        depth = jnp.int32(0)
+                        for i in range(kk):
+                            img, rr, depth = builder(
+                                flat, cam, img, it0 + jnp.int32(i), key
+                            )
+                            rays = rays + rr.astype(jnp.float32)
+                        return img, rays, depth
+
+                    self._iter_fn_k = jax.jit(_body_k)
         self.seed = 0
         self.key = rng.base_key(0)
         self.traced_depth = 0  # live depth reached last iteration
@@ -264,7 +305,6 @@ class Renderer:
             img, rays, depth = self._run_iteration(cam, self.iteration + 1)
             self.traced_depth = int(depth)
             self._force(img)
-            self.stats.compile_seconds = time.perf_counter() - t0
             self.img = img
             self.iteration += 1
             self.stats.iterations_done += 1
@@ -272,12 +312,31 @@ class Renderer:
             # goes to compile_seconds, so counting them would inflate
             # mrays_per_sec for short renders
             num_iterations -= 1
+            if self._k > 1:
+                # compile-only warmup of the k-batched variant (result
+                # DISCARDED), so its compile never lands in a timed
+                # window and step(n) still advances exactly n iterations
+                wimg, _, _ = self._iter_fn_k(
+                    self.flat, cam, self.img,
+                    jnp.int32(self.iteration + 1), self.key,
+                )
+                self._force(wimg)
+            self.stats.compile_seconds = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         # accumulate on device in f32 (int32 overflows beyond ~2e9 rays;
         # x64 is disabled on TPU)
         rays_total = jnp.float32(0)
         depth = None
+        booked = num_iterations
+        while self._k > 1 and num_iterations >= self._k:
+            self.img, rays, depth = self._iter_fn_k(
+                self.flat, cam, self.img,
+                jnp.int32(self.iteration + 1), self.key,
+            )
+            rays_total = rays_total + rays  # already f32 in-graph
+            self.iteration += self._k
+            num_iterations -= self._k
         for _ in range(num_iterations):
             self.img, rays, depth = self._run_iteration(cam, self.iteration + 1)
             rays_total = rays_total + rays.astype(jnp.float32)
@@ -287,11 +346,11 @@ class Renderer:
             # live traced depth (reference: src/pathtrace.cu:793-796)
             self.traced_depth = int(depth)
         dt = time.perf_counter() - t0
-        self.stats.iterations_done += max(num_iterations, 0)
+        self.stats.iterations_done += max(booked, 0)
         self.stats.rays_traced += int(rays_total)
         self.stats.wall_seconds += dt
-        if num_iterations > 0:
-            self.stats.per_iter_seconds.append(dt / num_iterations)
+        if booked > 0:
+            self.stats.per_iter_seconds.append(dt / booked)
         return self.stats
 
     # -- output -------------------------------------------------------------

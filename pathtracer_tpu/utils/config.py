@@ -67,11 +67,28 @@ class RenderOptions:
     packet_p: int = 2             # wide-kernel stack pops per while-lap
     packet_q: int = 4             # wide-kernel leaf drains per while-lap
     packet_rows: int = 8          # packet shape: rows x 128 rays
+    packet_auto: bool = True      # scene-class knob auto-tune: untextured
+    # env-less RESIDENT mesh scenes are traversal-compute-bound and run
+    # ~7% faster at (P,Q,rows)=(4,8,16) (deeper laps amortize the serial
+    # pop; 16-row packets halve packet count for ~15% union growth),
+    # while gather-bound (textures/env) and streaming scenes measure
+    # 4-5% SLOWER there — so only that class is upgraded (tools/
+    # knob_ab.py A/Bs on glassbunny/envbunny/bigbunny160k/texturecube).
+    # Explicit non-default P/Q/rows always win over the auto policy.
     interpret: bool = False       # run Pallas kernels in interpreter mode
     pallas_traversal: bool = True  # packet BVH kernels (TPU); False = XLA
     # lockstep walk (also the automatic fallback on CPU)
     swizzle: bool = True          # order the ray pool in 32x32 pixel blocks
     # so traversal packets are spatially coherent (single-device path)
+    iters_per_dispatch: int = 0   # batch k iterations into one jit call
+    # (k sequential bounce loops — NOT nested, so it avoids the rule-5
+    # compile pathology).  The remote backend costs ~10-30 ms of dispatch
+    # latency per step that pipelining does not hide (tools/
+    # dispatch_probe.py: 122 -> 13 ms/iter at 64x64), which dominates
+    # fast analytic iterations.  0 = auto: 8 for analytic scenes, 1 for
+    # triangle scenes (whose ~300-600 s Pallas compiles would double).
+    # Bit-identical to unbatched: RNG keys on (iteration, lane), the
+    # probe asserts exact image equality.
 
     def with_mode(self, mode: SampleMode) -> "RenderOptions":
         return replace(self, sample_mode=SampleMode(mode))

@@ -35,7 +35,8 @@ for cfg in configs:
     fs.WIDE_LEAF_K = K
     t0 = time.time()
     r = Renderer(scene, opts=RenderOptions(
-        sample_mode=SampleMode.MIS, packet_p=P, packet_q=Q, packet_rows=R,
+        sample_mode=SampleMode.MIS, packet_auto=False,
+        packet_p=P, packet_q=Q, packet_rows=R,
     ))
     r.step(2)
     compile_s = time.time() - t0

@@ -1,6 +1,7 @@
-"""Profile glassbunny on the real TPU: stage split + top fused ops.
+"""Profile a scene on the real TPU: stage split + top fused ops.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_bunny.py
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_bunny.py \
+    [scene] [mis|bsdf|direct]
 """
 import sys
 import time
@@ -18,7 +19,9 @@ from pathtracer_tpu.utils.config import RenderOptions, SampleMode
 from pathtracer_tpu.utils.profiling import top_ops_from_trace
 
 scene = sys.argv[1] if len(sys.argv) > 1 else "scenes/glassbunny.txt"
-r = Renderer(scene, opts=RenderOptions().with_mode(SampleMode.MIS))
+mode = {"mis": SampleMode.MIS, "bsdf": SampleMode.BSDF,
+        "direct": SampleMode.DIRECT_LI}[sys.argv[2] if len(sys.argv) > 2 else "mis"]
+r = Renderer(scene, opts=RenderOptions().with_mode(mode))
 print("backend:", jax.default_backend(), "pallas:", r.opts.pallas_traversal,
       "staged:", r.staged, "tris:", r.static.num_tris,
       "wide nodes:", r.static.wide_nodes)

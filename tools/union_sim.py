@@ -48,6 +48,48 @@ links = wi[:, 0:8]
 starts = wi[:, 8:16]
 ends = wi[:, 16:24]
 
+if "--merge" in sys.argv:
+    # Sibling leaf-cut merge model: adjacent leaf children of the same
+    # wide node whose combined span fits leaf_k collapse into ONE cut
+    # with the union AABB.  Cuts average ~5.6/8 filled slots, so the
+    # kernel burns ~30% of its leaf MT work on padding; merging trades
+    # that for extra reachability (a merged cut drains when EITHER box
+    # is hit).  Sibling tri ranges are contiguous by construction
+    # (collapse_wide expands children in tri order).
+    sys.argv.remove("--merge")
+    cb_min, cb_max = cb_min.copy(), cb_max.copy()
+    links, starts, ends = links.copy(), starts.copy(), ends.copy()
+    merged = total_cuts = 0
+    for nd in range(M):
+        out = []
+        for c in range(8):
+            ln, s, e = links[nd, c], starts[nd, c], ends[nd, c]
+            bmn, bmx = cb_min[nd, c].copy(), cb_max[nd, c].copy()
+            is_leaf = ln < 0 and e > s
+            if not is_leaf and ln < 0:
+                continue  # empty pad slot
+            if (is_leaf and out and out[-1][2] < 0
+                    and out[-1][4] == s and e - out[-1][3] <= leaf_k):
+                pb, pB, _, ps, _ = out[-1]
+                out[-1] = (np.minimum(pb, bmn), np.maximum(pB, bmx),
+                           np.int32(-1), ps, e)
+                merged += 1
+            else:
+                out.append((bmn, bmx, ln, s, e))
+        total_cuts += sum(1 for x in out if x[2] < 0)
+        for c in range(8):
+            if c < len(out):
+                (cb_min[nd, c], cb_max[nd, c], links[nd, c],
+                 starts[nd, c], ends[nd, c]) = out[c]
+            else:
+                cb_min[nd, c] = np.nan
+                cb_max[nd, c] = np.nan
+                links[nd, c] = -1
+                starts[nd, c] = 0
+                ends[nd, c] = 0
+    print(f"merge: {merged} sibling cuts absorbed, {total_cuts} cuts remain",
+          flush=True)
+
 
 def sim_packet(o, dirs, t0):
     K = o.shape[0]
