@@ -177,8 +177,12 @@ class Renderer:
                 # iterations per jit call as k SEQUENTIAL bounce loops
                 # (not nested — rule-5 safe).  Bit-identical: RNG keys on
                 # (iteration, lane); the probe asserts exact equality.
+                # auto: analytic iterations are ~45 ms (batch deep);
+                # mesh iterations ~300 ms (k=2 recovers the ~20-60 ms
+                # dispatch gap for one extra Pallas-program compile —
+                # glassbunny 337 -> 278 ms/iter on a slow-dispatch day)
                 k = int(self.opts.iters_per_dispatch) or (
-                    8 if self.static.num_tris == 0 else 1
+                    8 if self.static.num_tris == 0 else 2
                 )
                 self._k = max(k, 1)
                 if self._k > 1:

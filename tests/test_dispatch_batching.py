@@ -41,6 +41,26 @@ def test_batched_iterations_bit_identical(reference_scenes):
     assert r1.stats.iterations_done == r2.stats.iterations_done == 7
 
 
+def test_batched_mesh_pallas_interpret_bit_identical(tmp_path):
+    """The fused mesh path (Pallas kernels, interpret mode on CPU) must be
+    bit-identical batched vs unbatched too — this is the path TPU mesh
+    scenes take with the auto k=2."""
+    from tests.test_traverse import tri_soup_scene
+
+    path = tri_soup_scene(tmp_path, n=300, seed=5)
+    base = RenderOptions(sample_mode=SampleMode.MIS, interpret=True)
+    r1 = Renderer(path, opts=replace(base, iters_per_dispatch=1),
+                  resolution=(32, 16), trace_depth=3)
+    r2 = Renderer(path, opts=replace(base, iters_per_dispatch=2),
+                  resolution=(32, 16), trace_depth=3)
+    assert not r1.staged and not r2.staged
+    assert r2._k == 2
+    r1.step(4)
+    r2.step(4)
+    assert r1.iteration == r2.iteration == 4
+    assert np.array_equal(np.asarray(r1.img), np.asarray(r2.img))
+
+
 def test_auto_k_analytic_vs_mesh(reference_scenes):
     r = Renderer(
         str(reference_scenes / "cornell.txt"),
@@ -51,7 +71,9 @@ def test_auto_k_analytic_vs_mesh(reference_scenes):
         str(REPO_SCENES / "glassbunny.txt"),
         opts=RenderOptions(), resolution=(16, 16), trace_depth=2,
     )
-    assert rm._k == 1  # mesh scene: device-bound, avoid double compile
+    # mesh scene on CPU falls back to the STAGED path -> no batching
+    # (on TPU the fused Pallas path gets auto k=2)
+    assert rm.staged and rm._k == 1
 
 
 def test_packet_auto_knobs():

@@ -43,7 +43,10 @@ res = None
 if os.environ.get("PROBE_RES"):
     w, h = os.environ["PROBE_RES"].split("x")
     res = (int(w), int(h))
-r = Renderer(scene, opts=RenderOptions().with_mode(mode), resolution=res)
+# iters_per_dispatch=1: the Renderer now auto-batches, so the "loop" arm
+# must force the one-dispatch-per-iteration path to stay a comparison
+r = Renderer(scene, opts=RenderOptions(iters_per_dispatch=1).with_mode(mode),
+             resolution=res)
 assert not r.staged, "probe assumes the fused single-dispatch path"
 print(f"backend {jax.default_backend()}  tris {r.static.num_tris}  "
       f"mode {mode.name}  K {K}  N {N}", flush=True)
@@ -58,7 +61,16 @@ print(f"loop:   {N} iters {dt:.3f}s  {dt / N * 1e3:.1f} ms/iter  "
       f"{r.stats.rays_traced / r.stats.wall_seconds / 1e6:.1f} Mrays/s(stats)",
       flush=True)
 
-body = make_render_iteration(r.static, r.opts, r.width, r.height)
+# reproduce the Renderer's swizzle so bitmatch compares like with like
+# (mesh scenes order lanes in 32x32 pixel blocks; without this the
+# unrolled image is lane-permuted and bitmatch reads False spuriously)
+pixel_xy = None
+if r.pixel_order is not None:
+    xs = jnp.asarray((r.pixel_order % r.width).astype(np.float32))
+    ys = jnp.asarray((r.pixel_order // r.width).astype(np.float32))
+    pixel_xy = (xs, ys)
+body = make_render_iteration(r.static, r.opts, r.width, r.height,
+                             pixel_xy=pixel_xy)
 
 
 def step_k(flat, cam, img, it0, key):
