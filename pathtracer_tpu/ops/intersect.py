@@ -47,6 +47,39 @@ def xform_vector(m, v):
     return jnp.stack([x, y, z], axis=-1)
 
 
+def xform_point_cols(m, px, py, pz):
+    """Column (SoA) form of xform_point: (N,) components in, 3 out.
+
+    m's scalars may themselves be (N,) columns (winner-selected per ray).
+    Column form keeps the op chain reduce-free so XLA fuses whole sweeps
+    into a few HBM passes (the AoS sweep was ~50 small fusions/lap — see
+    tools/sweep_probe.py, 3x).
+    """
+    return (m[0][0] * px + m[0][1] * py + m[0][2] * pz + m[0][3],
+            m[1][0] * px + m[1][1] * py + m[1][2] * pz + m[1][3],
+            m[2][0] * px + m[2][1] * py + m[2][2] * pz + m[2][3])
+
+
+def xform_vector_cols(m, vx, vy, vz):
+    """Column (SoA) form of xform_vector (see xform_point_cols)."""
+    return (m[0][0] * vx + m[0][1] * vy + m[0][2] * vz,
+            m[1][0] * vx + m[1][1] * vy + m[1][2] * vz,
+            m[2][0] * vx + m[2][1] * vy + m[2][2] * vz)
+
+
+def mat_rows(m):
+    """(4,4) array → nested tuple of scalar slices for the _cols helpers."""
+    return tuple(tuple(m[i, j] for j in range(4)) for i in range(3))
+
+
+def normalize_cols(vx, vy, vz, eps=0.0):
+    """Column form of math.normalize: v * where(n2>eps, 1/sqrt(max(n2,
+    1e-38)), 0) — same formula, same rounding."""
+    n2 = vx * vx + vy * vy + vz * vz
+    inv = jnp.where(n2 > eps, 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-38)), 0.0)
+    return vx * inv, vy * inv, vz * inv
+
+
 def ray_sphere(transform, inverse_transform, inv_transpose, o, d):
     """Unit sphere (radius 0.5) in object space.
 

@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from pathtracer_tpu.ops.intersect import ray_aabb, ray_cube, ray_sphere, ray_triangle
+from pathtracer_tpu.ops.intersect import ray_aabb, ray_triangle
 from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
 from pathtracer_tpu.scene.parser import CUBE, SPHERE
 
@@ -42,46 +42,180 @@ class Hit(NamedTuple):
     bitangent: jnp.ndarray  # (N, 3)
 
 
+def _geom_t_soa(flat: FlatScene, gi: int, gtype: int, ox, oy, oz, dx, dy, dz):
+    """SoA analytic test for one static geom.
+
+    Returns (valid, t_world, (px,py,pz) object hit, (wx,wy,wz) world hit,
+    (nx,ny,nz) OBJECT normal) as (N,) columns — all reduce-free
+    elementwise math, so consecutive geom tests fuse into one XLA pass
+    (tools/sweep_probe.py).  Callers that only need (valid, t) let DCE
+    drop the rest (the occlusion sweep).  Formulas replicate
+    ray_sphere/ray_cube bit-for-bit (reference: src/intersections.h:48-144,
+    pull-back + world-t quirk at :27-29); the world normal is
+    normalize(invt @ n_obj), applied ONCE by the caller via a
+    winner-selected invt (computing it per geom — the round-2 form —
+    cost cornell ~5% end to end).
+    """
+    from pathtracer_tpu.ops.intersect import (
+        mat_rows,
+        normalize_cols,
+        xform_point_cols,
+        xform_vector_cols,
+    )
+
+    inv = mat_rows(flat.geom_inv[gi])
+    tr = mat_rows(flat.geom_transform[gi])
+    rox, roy, roz = xform_point_cols(inv, ox, oy, oz)
+    rdx, rdy, rdz = normalize_cols(*xform_vector_cols(inv, dx, dy, dz))
+    if gtype == SPHERE:
+        # reference: src/intersections.h:102-144
+        vdd = rox * rdx + roy * rdy + roz * rdz
+        rad = vdd * vdd - ((rox * rox + roy * roy + roz * roz) - 0.25)
+        root = jnp.sqrt(jnp.maximum(rad, 0.0))
+        t1, t2 = -vdd + root, -vdd - root
+        valid = (rad >= 0.0) & ~((t1 < 0.0) & (t2 < 0.0))
+        t_obj = jnp.where((t1 > 0.0) & (t2 > 0.0),
+                          jnp.minimum(t1, t2), jnp.maximum(t1, t2))
+    else:
+        # cube slabs; div-by-zero → ±inf as in the reference
+        # (src/intersections.h:58-76)
+        i1x, i2x = (-0.5 - rox) / rdx, (0.5 - rox) / rdx
+        i1y, i2y = (-0.5 - roy) / rdy, (0.5 - roy) / rdy
+        i1z, i2z = (-0.5 - roz) / rdz, (0.5 - roz) / rdz
+        gx = jnp.minimum(i1x, i2x)
+        gy = jnp.minimum(i1y, i2y)
+        gz = jnp.minimum(i1z, i2z)
+        gx = jnp.where(gx > 0.0, gx, -1e38)
+        gy = jnp.where(gy > 0.0, gy, -1e38)
+        gz = jnp.where(gz > 0.0, gz, -1e38)
+        tmin = jnp.maximum(gx, jnp.maximum(gy, gz))
+        tmax = jnp.minimum(jnp.maximum(i1x, i2x),
+                           jnp.minimum(jnp.maximum(i1y, i2y),
+                                       jnp.maximum(i1z, i2z)))
+        valid = (tmax >= tmin) & (tmax > 0.0)
+        t_obj = jnp.where(tmin <= 0.0, tmax, tmin)
+    # pull-back + world-t quirk (reference: src/intersections.h:27-29)
+    px = rox + (t_obj - 1e-4) * rdx
+    py = roy + (t_obj - 1e-4) * rdy
+    pz = roz + (t_obj - 1e-4) * rdz
+    wx, wy, wz = xform_point_cols(tr, px, py, pz)
+    ex, ey, ez = wx - ox, wy - oy, wz - oz
+    t = jnp.sqrt(jnp.maximum(ex * ex + ey * ey + ez * ez, 0.0))
+    if gtype == SPHERE:
+        # object normal = hit point (direction from center)
+        nx, ny, nz = px, py, pz
+    else:
+        # slab-entry axis basis * sign (reference: intersections.h:66;
+        # argmax/argmin tie-break = FIRST index, like jnp.argmax)
+        sx = jnp.where(i2x < i1x, 1.0, -1.0)
+        sy = jnp.where(i2y < i1y, 1.0, -1.0)
+        sz = jnp.where(i2z < i1z, 1.0, -1.0)
+        inside = tmin <= 0.0
+        tbx = jnp.maximum(i1x, i2x)
+        tby = jnp.maximum(i1y, i2y)
+        amin_x = gx >= tmin
+        amin_y = ~amin_x & (gy >= tmin)
+        amax_x = tbx <= tmax
+        amax_y = ~amax_x & (tby <= tmax)
+        ax_x = jnp.where(inside, amax_x, amin_x)
+        ax_y = jnp.where(inside, amax_y, amin_y)
+        sign = jnp.where(ax_x, sx, jnp.where(ax_y, sy, sz))
+        nx = jnp.where(ax_x, sign, 0.0)
+        ny = jnp.where(ax_y, sign, 0.0)
+        nz = jnp.where(ax_x | ax_y, 0.0, sign)
+    return valid, t, (px, py, pz), (wx, wy, wz), (nx, ny, nz)
+
+
 def _geoms_closest(flat: FlatScene, static: SceneStatic, o, d):
     """Brute-force analytic geoms (reference: src/pathtrace.cu:211-235).
 
-    Two-phase sweep, fully unrolled over the (static) geom list so XLA
-    fuses it into one elementwise pass: phase 1 keeps only (t, winner id)
-    per geom using the distance-only tests; phase 2 recomputes point and
-    normal ONCE for the winning geom via per-ray gathered transforms.
-    (The original lax.scan carrying point/normal per step was the hot
-    spot: ~97 ms per pass at 640k rays; this form is ~10x cheaper.)
+    Two-phase SoA sweep, fully unrolled over the (static) geom list, all
+    math on (N,) component COLUMNS with zero cross-lane reduces: every
+    dot/argmax over the (N,3) minor axis is a reduce that ends its XLA
+    fusion, and the AoS sweep decomposed into ~50 small fusions per
+    bounce, each a full HBM round trip (tools/sweep_probe.py: the SoA
+    form is 3x faster on the real cornell geometry at 640k rays).
+
+    Phase 1 sweeps per geom, carrying (t, winner id, world hit, object
+    normal) columns inside one fused elementwise chain; phase 2 applies
+    the winner's invt ONCE via winner-selected matrix scalars (select
+    chains over static matrices — never a gathered (N,4,4)).
     """
+    from pathtracer_tpu.ops.intersect import (
+        normalize_cols,
+        xform_vector_cols,
+    )
+
     N = o.shape[0]
+    # fusion fence: without it XLA fuses the reduce-free sweep into its
+    # producers/consumers as one mega-fusion whose live ranges spill —
+    # the isolated sweep is 3x faster than AoS (tools/sweep_probe.py)
+    # but fused-in it measured ~7% SLOWER on cornell's 9-lap loop
+    o, d = jax.lax.optimization_barrier((o, d))
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    zero = jnp.zeros((N,), jnp.float32)
     t_min = jnp.full((N,), FLT_MAX, jnp.float32)
     geom = jnp.full((N,), -1, jnp.int32)
-    point = jnp.zeros((N, 3), jnp.float32)
-    normal = jnp.zeros((N, 3), jnp.float32)
+    # winner's world hit + OBJECT normal (computed per geom in the fused
+    # sweep — the ops the AoS form also paid — and carried as columns)
+    wx_w = wy_w = wz_w = zero
+    nxc = nyc = nzc = zero
 
-    # Fully unrolled over the static geom list: transform matrices index
-    # with STATIC gi so they fold to scalar constants — never materialize
-    # per-ray (N,4,4) matrices (a single gathered-matrix + element-slice
-    # pattern cost >100 ms/bounce at 640k rays: the (N,4,4) tensor tiles
-    # as T(4,128) and every m[...,i,j] extract became a strided
-    # slice+reduce over it).
-    for gi, gtype in enumerate(static.geom_types):
-        if gtype == SPHERE:
-            valid, t, p, nrm, _ = ray_sphere(
-                flat.geom_transform[gi], flat.geom_inv[gi], flat.geom_invt[gi], o, d
-            )
-        elif gtype == CUBE:
-            valid, t, p, nrm, _ = ray_cube(
-                flat.geom_transform[gi], flat.geom_inv[gi], flat.geom_invt[gi], o, d
-            )
-        else:
-            continue
+    sweep = [
+        (gi, gt) for gi, gt in enumerate(static.geom_types)
+        if gt in (SPHERE, CUBE)
+    ]
+
+    for gi, gtype in sweep:
+        valid, t, _, (wx, wy, wz), (nx, ny, nz) = _geom_t_soa(
+            flat, gi, gtype, ox, oy, oz, dx, dy, dz
+        )
         better = valid & (t > 0.0) & (t < t_min)
-        bm = better[..., None]
         t_min = jnp.where(better, t, t_min)
         geom = jnp.where(better, gi, geom)
-        point = jnp.where(bm, p, point)
-        normal = jnp.where(bm, nrm, normal)
-    return t_min, geom, point, normal
+        wx_w = jnp.where(better, wx, wx_w)
+        wy_w = jnp.where(better, wy, wy_w)
+        wz_w = jnp.where(better, wz, wz_w)
+        nxc = jnp.where(better, nx, nxc)
+        nyc = jnp.where(better, ny, nyc)
+        nzc = jnp.where(better, nz, nzc)
+
+    if not sweep:
+        return (t_min, geom, jnp.zeros((N, 3), jnp.float32),
+                jnp.zeros((N, 3), jnp.float32))
+
+    # ---- winner world normal: ONE normalize(invt @ n_obj), with invt's
+    # 9 scalars selected by the winner id (8-deep where chains over
+    # STATIC scalars — the selected values equal the winner's matrix
+    # exactly, so this is bit-identical to the per-geom transform the
+    # AoS form applied 8 times) ----
+    def sel_scalar(vals):
+        out = vals[0][1]
+        for gi, v in vals[1:]:
+            out = jnp.where(geom == gi, v, out)
+        return out
+
+    invt_sel = tuple(
+        tuple(
+            sel_scalar([(gi, flat.geom_invt[gi][i, j]) for gi, _ in sweep])
+            for j in range(3)  # vector xform: translation column unused
+        )
+        for i in range(3)
+    )
+    nwx, nwy, nwz = normalize_cols(
+        *xform_vector_cols(invt_sel, nxc, nyc, nzc)
+    )
+    found = geom >= 0
+    point = jnp.stack(
+        [jnp.where(found, wx_w, 0.0), jnp.where(found, wy_w, 0.0),
+         jnp.where(found, wz_w, 0.0)], axis=1,
+    )
+    normal = jnp.stack(
+        [jnp.where(found, nwx, 0.0), jnp.where(found, nwy, 0.0),
+         jnp.where(found, nwz, 0.0)], axis=1,
+    )
+    return jax.lax.optimization_barrier((t_min, geom, point, normal))
 
 
 def _mtbvh_offset(static: SceneStatic, d):
@@ -303,19 +437,18 @@ def occlusion_test(
     (t < minT-1e-5 && |t-minT| > 1e-2), then BVH triangles with window
     (t < minT-1e-5 && |t-minT| > 1e-4).
     """
-    from pathtracer_tpu.ops.intersect import ray_cube_t, ray_sphere_t
-
     N = ori.shape[0]
     min_t = jnp.sqrt(jnp.maximum(jnp.sum((des - ori) ** 2, -1), 0.0))
     occluded = jnp.zeros((N,), bool)
 
+    # SoA analytic sweep (same column form as _geoms_closest phase 1;
+    # the unused hit-point outputs are dead-code-eliminated)
+    ox, oy, oz = ori[:, 0], ori[:, 1], ori[:, 2]
+    dx, dy, dz = dir[:, 0], dir[:, 1], dir[:, 2]
     for gi, gtype in enumerate(static.geom_types):
-        if gtype == SPHERE:
-            valid, t = ray_sphere_t(flat.geom_transform[gi], flat.geom_inv[gi], ori, dir)
-        elif gtype == CUBE:
-            valid, t = ray_cube_t(flat.geom_transform[gi], flat.geom_inv[gi], ori, dir)
-        else:
+        if gtype not in (SPHERE, CUBE):
             continue
+        valid, t, _, _, _ = _geom_t_soa(flat, gi, gtype, ox, oy, oz, dx, dy, dz)
         blocked = valid & (t > 0.0) & (min_t - 1e-5 > t) & (jnp.abs(t - min_t) > 1e-2)
         occluded = occluded | blocked
 

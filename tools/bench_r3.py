@@ -19,6 +19,9 @@ from pathtracer_tpu.utils.config import RenderOptions, SampleMode
 
 JOBS = {
     "cornell_mis": ("/root/reference/scenes/cornell.txt", SampleMode.MIS, 16),
+    "cornell_bsdf": ("/root/reference/scenes/cornell.txt", SampleMode.BSDF, 32),
+    "microfacet": ("/root/reference/scenes/microfacet_test.txt", SampleMode.BSDF, 16),
+    "dielectric": ("/root/reference/scenes/dielectric_test.txt", SampleMode.BSDF, 16),
     "glassbunny": ("scenes/glassbunny.txt", SampleMode.MIS, 8),
     "envbunny": ("scenes/envbunny.txt", SampleMode.MIS, 4),
     "bigbunny160k": ("/tmp/bigbunny160k.txt", SampleMode.MIS, 4),
