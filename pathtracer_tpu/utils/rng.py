@@ -78,8 +78,19 @@ def pixel_uniforms(
     k1 = jnp.broadcast_to(kd[-1], pixel_idx.shape)
     cols = []
     pix = pixel_idx.astype(jnp.uint32)
-    for c in range(ncols):
-        x0, x1 = _threefry2x32(k0, k1, pix, jnp.full_like(pix, jnp.uint32(c)))
+
+    def u01(x):
         # uint32 → U[0,1): take 23 mantissa bits (standard construction)
-        cols.append((x0 >> jnp.uint32(9)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 23)))
+        return (x >> jnp.uint32(9)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 23))
+
+    # each threefry block yields TWO independent 32-bit halves — use both
+    # (the 20-round block cipher is ~3 ms/iter on a 640k pool at 3 calls;
+    # pairing halves the call count for the same keying/determinism)
+    c = 0
+    while len(cols) < ncols:
+        x0, x1 = _threefry2x32(k0, k1, pix, jnp.full_like(pix, jnp.uint32(c)))
+        cols.append(u01(x0))
+        if len(cols) < ncols:
+            cols.append(u01(x1))
+        c += 1
     return jnp.stack(cols, axis=-1)
