@@ -90,12 +90,27 @@ def _sphere_cone_pdf_const(inv, view_pos):
 
 
 def _emit_color_by_geom(flat: FlatScene, static: SceneStatic, geom_idx):
-    """Light albedo via static geom→material chain (no tiny-table gathers)."""
+    """Light albedo via static geom→material chain (no tiny-table gathers).
+
+    `geom_idx` comes from flat.light_geom, so only geoms with a LIGHT
+    material can ever match — the chain selects over those alone, deduped
+    by material id (geoms sharing a material share the albedo), instead of
+    every geom in the scene.  Bit-identical: non-light masks never fired.
+    """
+    from pathtracer_tpu.scene.parser import LIGHT
+
     f = flat.mat_f32
+    groups: dict[int, list[int]] = {}
+    for gi, (mid, mty) in enumerate(zip(static.geom_mats, static.geom_mat_types)):
+        if mty == LIGHT:
+            groups.setdefault(int(mid), []).append(gi)
     out = jnp.zeros(geom_idx.shape + (3,), jnp.float32)
-    for gi, mid in enumerate(static.geom_mats):
+    for mid, gis in groups.items():
+        mask = geom_idx == gis[0]
+        for gi in gis[1:]:
+            mask = mask | (geom_idx == gi)
         val = jnp.stack([f[0, mid], f[1, mid], f[2, mid]], axis=-1)
-        out = jnp.where((geom_idx == gi)[..., None], val, out)
+        out = jnp.where(mask[..., None], val, out)
     return out
 
 

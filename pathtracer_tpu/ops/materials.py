@@ -76,19 +76,34 @@ def material_by_geom(flat: FlatScene, static: SceneStatic, geom_idx, uv) -> MatP
     """Material params selected by (dynamic) geom index via a static chain.
 
     Geoms' material assignments are compile-time facts, so each parameter
-    component is a select-chain over `geom_idx == gi` with scalar table
+    component is a select-chain over per-material masks with scalar table
     reads at STATIC indices — zero gathers.  TPU gathers from tiny tables
     lower to serial per-element loops (~10 ms per gather per bounce at
     640k rays), so this chain is ~50x cheaper for typical scenes.
+
+    Geoms sharing a material id share EVERY component, so the chain is one
+    select per UNIQUE material (masks built once, OR'd over the group's
+    geoms) rather than one per geom — bit-identical (each lane matches at
+    most one geom, so the grouped mask picks the same table value) and
+    roughly halves the per-bounce where cascade on scenes like cornell
+    where walls/boxes share the white diffuse material.
     """
-
-    def chain(table_2d, comp, ids, dtype):
-        out = jnp.zeros_like(geom_idx, dtype=dtype)
-        for gi, mid in enumerate(ids):
-            out = jnp.where(geom_idx == gi, table_2d[comp, mid], out)
-        return out
-
     ids = static.geom_mats
+    groups: dict[int, list[int]] = {}
+    for gi, mid in enumerate(ids):
+        groups.setdefault(int(mid), []).append(gi)
+    masks = []
+    for mid, gis in groups.items():
+        mask = geom_idx == gis[0]
+        for gi in gis[1:]:
+            mask = mask | (geom_idx == gi)
+        masks.append((mid, mask))
+
+    def chain(table_2d, comp, _ids, dtype):
+        out = jnp.zeros_like(geom_idx, dtype=dtype)
+        for mid, mask in masks:
+            out = jnp.where(mask, table_2d[comp, mid], out)
+        return out
     f, i = flat.mat_f32, flat.mat_i32
     const_albedo = jnp.stack(
         [chain(f, 0, ids, jnp.float32), chain(f, 1, ids, jnp.float32), chain(f, 2, ids, jnp.float32)],

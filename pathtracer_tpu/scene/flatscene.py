@@ -105,6 +105,8 @@ class SceneStatic:
 
     geom_types: tuple  # per-geom type codes (static → type-specialized tests)
     geom_mats: tuple   # per-geom material ids (static → select-chain lookup)
+    geom_mat_types: tuple  # per-geom material TYPE codes (static → light
+    # emission chains select only over light-material geoms)
     material_types: tuple  # sorted set of material types present (static →
     # absent BSDF lobes are never evaluated)
     scene_bounds: tuple  # (bmin xyz, bmax xyz) of ALL geometry — the ray
@@ -592,6 +594,11 @@ def build_flat_scene(
     static = SceneStatic(
         geom_types=tuple(int(g.type) for g in scene.geoms),
         geom_mats=tuple(int(g.material_id) for g in scene.geoms),
+        geom_mat_types=tuple(
+            int(scene.materials[g.material_id].type)
+            if 0 <= g.material_id < len(scene.materials) else -1
+            for g in scene.geoms
+        ),
         material_types=tuple(sorted({int(m.type) for m in scene.materials})),
         scene_bounds=_scene_bounds(scene, bvh),
         analytic_lights=tuple(
