@@ -154,7 +154,8 @@ def make_render_iteration(
     trace_depth = static.trace_depth
     use_bvh = bool(opts.use_bvh)
     use_pallas = bool(opts.pallas_traversal) and static.num_tris > 0 and use_bvh
-    knobs = (int(opts.packet_p), int(opts.packet_q), int(opts.packet_rows))
+    knobs = (int(opts.packet_p), int(opts.packet_q), int(opts.packet_rows),
+             int(getattr(opts, "packet_dense", 0)))
     interp = bool(opts.interpret)
     show_normal = bool(opts.show_normal)
     # per-bounce ray sorting (the TPU analogue of the reference's stream

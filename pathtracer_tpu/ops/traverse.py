@@ -396,6 +396,7 @@ def closest_hit(
                 flat.bvh_wf, flat.bvh_wi, flat.bvh_wp, flat.tri_pk, o, d, t_init,
                 leaf_k=static.wide_leaf_k,
                 p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
+                dense_top=knobs[3] if len(knobs) > 3 else 0,
                 interpret=interpret,
             )
         t_min = jnp.where(tri_pk >= 0, t_pk, t_min)

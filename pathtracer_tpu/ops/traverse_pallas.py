@@ -137,13 +137,13 @@ Q_LEAVES = 2  # queued leaves drained per while-lap
 
 
 def _make_wide_closest_kernel(leaf_k: int, p_nodes: int = P_NODES,
-                              q_leaves: int = Q_LEAVES):
+                              q_leaves: int = Q_LEAVES, dense_top: int = 0):
     def kernel(
         octant,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
         wf_ref, wi_ref, wp_ref, tri_ref,
         t_ref, tri_out_ref, u_ref, v_ref,
-        stack_ref, leafq_ref,
+        stack_ref, leafq_ref, *maybe_cnt,
     ):
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -158,6 +158,48 @@ def _make_wide_closest_kernel(leaf_k: int, p_nodes: int = P_NODES,
 
         stack_ref[0] = 0
         nt1 = tri_ref.shape[0] - 1
+        n_wide = wf_ref.shape[0] // 48
+        alive_any = jnp.any(t0_ref[:] >= 0.0)
+
+        # --- DENSE TOP preamble (dense_top > 0): wide nodes are BFS-
+        # ordered (accel/bvh.py collapse_wide), so the prefix 0..D-1 is a
+        # parent-closed top region that bounce-ray packets visit near-
+        # exhaustively anyway (tools/union_sim.py).  Process it as ONE
+        # unrolled straight-line block — no while-loop laps, no stack
+        # pops — pushing only the FRONTIER (link >= D) and queuing leaf
+        # children; the while_loop below then drains from there.  Dead /
+        # root-missing packets (every t0 at the DEAD sentinel) skip the
+        # whole block via the pl.when.
+        D = min(int(dense_top), n_wide)
+        if D > 0:
+            cnt_ref = maybe_cnt[0]
+            cnt_ref[0] = 0
+            cnt_ref[1] = 0
+            t0v = t0_ref[:]
+
+            @pl.when(alive_any)
+            def _dense():
+                new_sp = jnp.int32(0)
+                new_lq = jnp.int32(0)
+                for node in range(D):
+                    perm = wp_ref[node * 8 + octant]
+                    for rank in range(7, -1, -1):  # far→near pushes
+                        slot = (perm >> (3 * rank)) & 7
+                        bf = node * 48 + slot * 6
+                        nf = [wf_ref[bf + k] for k in range(6)]
+                        link = wi_ref[node * 24 + slot]
+                        hit, t_enter = _aabb_packet(
+                            nf, ox, oy, oz, idx, idy, idz)
+                        any_c = jnp.any(hit & (t_enter <= t0v))
+                        is_leaf = link < 0
+                        stack_ref[new_sp] = link
+                        new_sp = new_sp + (
+                            any_c & ~is_leaf & (link >= D)
+                        ).astype(jnp.int32)
+                        leafq_ref[new_lq] = node * 8 + slot
+                        new_lq = new_lq + (any_c & is_leaf).astype(jnp.int32)
+                cnt_ref[0] = new_sp
+                cnt_ref[1] = new_lq
 
         def lap(state):
             sp, lq = state
@@ -236,11 +278,17 @@ def _make_wide_closest_kernel(leaf_k: int, p_nodes: int = P_NODES,
             return new_sp, jnp.maximum(new_lq - q_leaves, 0)
 
         # whole-dead packets (every t0 at the -FLT_MAX sentinel) never enter
-        alive_any = jnp.any(t0_ref[:] >= 0.0)
+        if D > 0:
+            seed = (maybe_cnt[0][0], maybe_cnt[0][1])
+        else:
+            seed = (
+                jnp.where(alive_any, jnp.int32(1), jnp.int32(0)),
+                jnp.int32(0),
+            )
         jax.lax.while_loop(
             lambda st: (st[0] > 0) | (st[1] > 0),
             lap,
-            (jnp.where(alive_any, jnp.int32(1), jnp.int32(0)), jnp.int32(0)),
+            seed,
         )
 
     return kernel
@@ -366,10 +414,11 @@ def _tile_octants(d, num_tiles, tile=TILE):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "leaf_k", "interpret", "p_nodes", "q_leaves", "rows"))
+    "leaf_k", "interpret", "p_nodes", "q_leaves", "rows", "dense_top"))
 def closest_hit_wbvh_pallas(
     wf, wi, wp, tri12, o, d, t_init, leaf_k: int, interpret: bool = False,
     p_nodes: int = P_NODES, q_leaves: int = Q_LEAVES, rows: int = TILE_ROWS,
+    dense_top: int = 0,
 ):
     """Wide-BVH packet closest-hit.
 
@@ -425,16 +474,17 @@ def closest_hit_wbvh_pallas(
             pltpu.SMEM((wp.shape[0],), jnp.int32),
             pltpu.VMEM((tri12.shape[0], 12), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
-        ],
+        ]
+        + ([pltpu.SMEM((2,), jnp.int32)] if dense_top else []),
     )
     shape1 = jax.ShapeDtypeStruct((num_tiles, rows, TILE_LANES), jnp.float32)
     shapei = jax.ShapeDtypeStruct((num_tiles, rows, TILE_LANES), jnp.int32)
-    inner = _make_wide_closest_kernel(leaf_k, p_nodes, q_leaves)
+    inner = _make_wide_closest_kernel(leaf_k, p_nodes, q_leaves, dense_top)
 
     def kernel(oct_r, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, t0_r,
                wf_h, wi_h, wp_h, tr_h,
                t_r, tri_r, u_r, v_r, stack_r, leafq_r, wf_s, wi_s, wp_s,
-               tr_v, sems):
+               tr_v, sems, *cnt_s):
         @pl.when(pl.program_id(0) == 0)
         def _():
             copies = [
@@ -454,7 +504,7 @@ def closest_hit_wbvh_pallas(
             dx_r.at[0], dy_r.at[0], dz_r.at[0], t0_r.at[0],
             wf_s, wi_s, wp_s, tr_v,
             t_r.at[0], tri_r.at[0], u_r.at[0], v_r.at[0],
-            stack_r, leafq_r,
+            stack_r, leafq_r, *cnt_s,
         )
 
     t, tri, u, v = pl.pallas_call(

@@ -67,6 +67,9 @@ class RenderOptions:
     packet_p: int = 2             # wide-kernel stack pops per while-lap
     packet_q: int = 4             # wide-kernel leaf drains per while-lap
     packet_rows: int = 8          # packet shape: rows x 128 rays
+    packet_dense: int = 0         # closest-hit dense-top preamble: process
+    # the first N BFS-prefix wide nodes as straight-line code (no while
+    # laps); 0 = off (traverse_pallas.py _make_wide_closest_kernel)
     packet_auto: bool = True      # scene-class knob auto-tune: untextured
     # env-less RESIDENT mesh scenes are traversal-compute-bound and run
     # ~7% faster at (P,Q,rows)=(4,8,16) (deeper laps amortize the serial

@@ -60,6 +60,35 @@ class TestPacketClosest:
         t, tri, u, v = _closest(flat, static, o, d, t_init)
         assert (np.asarray(tri) == -1).all()
 
+    @pytest.mark.parametrize("dense", [1, 8, 64])
+    def test_dense_top_matches(self, soup, dense):
+        # dense_top D unrolls the BFS-prefix nodes 0..D-1 as a straight-
+        # line preamble; any D (clamped to the node count inside) must be
+        # packet-for-packet identical to the stack walk
+        flat, static = soup
+        o, d = random_rays(2048, seed=28)
+        t_init = jnp.full((2048,), FLT_MAX, jnp.float32)
+        ref_t, ref_tri, _, _ = _closest(flat, static, o, d, t_init)
+        t, tri, u, v = closest_hit_wbvh_pallas(
+            flat.bvh_wf, flat.bvh_wi, flat.bvh_wp, flat.tri_pk, o, d, t_init,
+            leaf_k=static.wide_leaf_k, interpret=True, dense_top=dense,
+        )
+        np.testing.assert_array_equal(np.asarray(tri), np.asarray(ref_tri))
+        hits = np.asarray(ref_tri) >= 0
+        np.testing.assert_allclose(
+            np.asarray(t)[hits], np.asarray(ref_t)[hits], rtol=1e-5
+        )
+
+    def test_dense_top_dead_sentinel(self, soup):
+        flat, static = soup
+        o, d = random_rays(1024, seed=29)
+        t_init = jnp.full((1024,), DEAD_T, jnp.float32)
+        t, tri, u, v = closest_hit_wbvh_pallas(
+            flat.bvh_wf, flat.bvh_wi, flat.bvh_wp, flat.tri_pk, o, d, t_init,
+            leaf_k=static.wide_leaf_k, interpret=True, dense_top=16,
+        )
+        assert (np.asarray(tri) == -1).all()
+
     def test_pool_padding(self, soup):
         flat, static = soup
         o, d = random_rays(1000, seed=23)  # not a multiple of 2048
