@@ -105,7 +105,12 @@ class Renderer:
             and not self.static.has_textures
         ):
             self.opts = _dc_replace(
-                self.opts, packet_p=4, packet_q=8, packet_rows=16
+                self.opts, packet_p=4, packet_q=8, packet_rows=16,
+                # shadow-ray re-sort pays on exactly this class: +3-4% on
+                # glassbunny in two independent windows (r3 campaign at
+                # the (2,4,8) point, 24.50 vs 23.76 at this one); the env/
+                # texture scenes where it measured flat are excluded above
+                shadow_sort=True,
             )
         if self.opts.pallas_traversal and (
             (jax.default_backend() == "cpu" and not self.opts.interpret)
