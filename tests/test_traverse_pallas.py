@@ -137,6 +137,24 @@ class TestPacketOcclusion:
         assert not np.asarray(occ).any()
 
 
+class TestShadowSort:
+    def test_shadow_sort_output_identical(self, soup):
+        # the occlusion-pass re-sort is pure reordering (sort + un-permute);
+        # results must be lane-for-lane identical with it on or off —
+        # packet_auto now enables it for resident untextured scenes
+        flat, static = soup
+        o, d = random_rays(2048, seed=30)
+        des = o + d * 2.5
+        enabled = (np.arange(2048) % 3 != 0)
+        res = {}
+        for ss in (False, True):
+            res[ss] = np.asarray(occlusion_test(
+                flat, static, o, d, des, enabled=jnp.asarray(enabled),
+                use_pallas=True, interpret=True, shadow_sort=ss,
+            ))
+        np.testing.assert_array_equal(res[True], res[False])
+
+
 class TestStreamTraversal:
     """Streaming (two-level, DMA-ring) kernels must agree with the XLA
     walk.  The soup is forced onto the streaming path by shrinking the
