@@ -111,6 +111,72 @@ def make_kernel(variant: str, leaf_k: int = 0):
                     stack_s[jnp.minimum(sp, 63)] = link  # unconditional store
                     sp = sp + push.astype(jnp.int32)
                 return acc + jnp.float32(sp) * 1e-30
+            if variant == "push_packed":
+                # ONE cross-lane reduce for all 8 slot-any bits: pack each
+                # slot's active mask into bit c of an int32 plane, reduce
+                # with a single jnp.max, then 8 scalar bit extracts.
+                # NOTE: max != bitwise-OR across lanes — this probe measures
+                # COST only; a production version needs a real OR-reduce.
+                sp = jnp.int32(0)
+                bits = jnp.zeros_like(out_r[:], jnp.int32)
+                for c in range(8):
+                    nf = [wf_s[base_f + c * 6 + k] for k in range(6)]
+                    hit, t_enter = aabb(nf)
+                    active = hit & (t_enter <= acc)
+                    bits = bits | (active.astype(jnp.int32) << jnp.int32(c))
+                anyb = jnp.max(bits)
+                for c in range(8):
+                    link = wi_s[base_i + c]
+                    any_c = ((anyb >> jnp.int32(c)) & jnp.int32(1)) > 0
+                    push = any_c & (link >= 0)
+                    stack_s[jnp.minimum(sp, 63)] = link
+                    sp = sp + push.astype(jnp.int32)
+                return acc + jnp.float32(sp) * 1e-30
+            if variant in ("push4_branchless", "push4_packed"):
+                # 4-node lap (the production p_nodes=4 shape): 32 slot-anys
+                # either individually or as one packed 32-bit reduce.
+                sp = jnp.int32(0)
+                if variant == "push4_packed":
+                    # two 16-bit int32 planes (dodges the sign bit); 2
+                    # cross-lane reduces for the 32 slot-any bits.
+                    b0 = jnp.zeros_like(out_r[:], jnp.int32)
+                    b1 = jnp.zeros_like(out_r[:], jnp.int32)
+                    for j in range(4):
+                        nd = (i * 4 + j) % M
+                        for c in range(8):
+                            nf = [wf_s[nd * 48 + c * 6 + k] for k in range(6)]
+                            hit, t_enter = aabb(nf)
+                            active = hit & (t_enter <= acc)
+                            b = j * 8 + c
+                            if b < 16:
+                                b0 = b0 | (active.astype(jnp.int32) << jnp.int32(b))
+                            else:
+                                b1 = b1 | (active.astype(jnp.int32) << jnp.int32(b - 16))
+                    any0 = jnp.max(b0)
+                    any1b = jnp.max(b1)
+                    for j in range(4):
+                        nd = (i * 4 + j) % M
+                        for c in range(8):
+                            link = wi_s[nd * 24 + c]
+                            b = j * 8 + c
+                            src = any0 if b < 16 else any1b
+                            any_c = ((src >> jnp.int32(b % 16)) & jnp.int32(1)) > 0
+                            push = any_c & (link >= 0)
+                            stack_s[jnp.minimum(sp, 63)] = link
+                            sp = sp + push.astype(jnp.int32)
+                else:
+                    for j in range(4):
+                        nd = (i * 4 + j) % M
+                        for c in range(8):
+                            nf = [wf_s[nd * 48 + c * 6 + k] for k in range(6)]
+                            link = wi_s[nd * 24 + c]
+                            hit, t_enter = aabb(nf)
+                            active = hit & (t_enter <= acc)
+                            any_c = jnp.any(active)
+                            push = any_c & (link >= 0)
+                            stack_s[jnp.minimum(sp, 63)] = link
+                            sp = sp + push.astype(jnp.int32)
+                return acc + jnp.float32(sp) * 1e-30
             if variant == "loads":
                 s = jnp.float32(0)
                 for c in range(8):
