@@ -98,6 +98,17 @@ def camera_rays(
     return o, d
 
 
+# Dead-lane sort sentinel (must exceed every live sort key: octant/cell
+# keys are < 2^12 and the packet-purity bit adds 2^12, so live < 2^13).
+_DEAD_KEY = 1 << 20
+# env-miss flag, packed into the lane column's high bit: a lane that dies
+# by env miss needs only ONE bit of extra state, because its radiance
+# scale at death IS its (frozen) `color` — carrying a separate (N, 3)
+# env_scale through every per-bounce sort cost 3 sort operands for one bit
+_ENV_MISS_BIT = jnp.int32(1 << 30)
+_LANE_MASK = jnp.int32((1 << 30) - 1)
+
+
 class _BounceState(NamedTuple):
     depth: jnp.ndarray
     o: jnp.ndarray
@@ -105,12 +116,11 @@ class _BounceState(NamedTuple):
     color: jnp.ndarray
     contrib: jnp.ndarray  # radiance accumulated BY THIS RAY (rides the ray
     # through sorts; scattered into img once per iteration, not per bounce)
-    env_scale: jnp.ndarray  # throughput at env-miss death (0 = no miss);
-    # the env radiance lookup itself is deferred to finish_state
     prev_pdf: jnp.ndarray
-    remaining: jnp.ndarray
     alive: jnp.ndarray
-    lane: jnp.ndarray  # this ray's image slot (rays migrate when sorted)
+    lane: jnp.ndarray  # this ray's image slot (rays migrate when sorted);
+    # high bit = died-by-env-miss flag (the deferred env lookup in
+    # finish_state scales the radiance by the lane's frozen `color`)
     img: jnp.ndarray
     rays_traced: jnp.ndarray  # throughput metric (primary+bounce+shadow rays)
 
@@ -219,33 +229,32 @@ def make_render_iteration(
                 state.o, state.d,
             )
             key = key + jnp.where(rb_hit, 0, 1 << 12)
-        key = jnp.where(state.alive, key, jnp.int32(1 << 20))  # dead → back
+        key = jnp.where(state.alive, key, jnp.int32(_DEAD_KEY))  # dead → back
         # ONE multi-operand lax.sort carrying every per-ray field as 1D
         # columns: payloads ride the sort network, so there are no (N, 3)
         # row gathers (those tile to 128 lanes → strided slice+reduce
-        # fusions, the round-1 reason sorting cost ~450 ms/iter)
+        # fusions, the round-1 reason sorting cost ~450 ms/iter).  Sort
+        # operands are pruned to the irreducible set — `alive` re-derives
+        # from the sorted key, `remaining` from the scalar depth, env-miss
+        # state from the lane flag bit, and prev_pdf is the constant -1
+        # outside MIS mode — each dropped operand is one less 640k column
+        # through the sort network
         cols = (
             state.o[:, 0], state.o[:, 1], state.o[:, 2],
             state.d[:, 0], state.d[:, 1], state.d[:, 2],
             state.color[:, 0], state.color[:, 1], state.color[:, 2],
             state.contrib[:, 0], state.contrib[:, 1], state.contrib[:, 2],
-            state.prev_pdf,
-            state.remaining,
-            state.alive,
             state.lane,
         )
-        if static.env_map_id >= 0:
-            cols = cols + (
-                state.env_scale[:, 0], state.env_scale[:, 1],
-                state.env_scale[:, 2],
-            )
+        if mode == SampleMode.MIS:
+            cols = cols + (state.prev_pdf,)
         out = jax.lax.sort((key,) + cols, num_keys=1, is_stable=True)
         st3 = lambda i: jnp.stack(out[i : i + 3], axis=1)
         return state._replace(
             o=st3(1), d=st3(4), color=st3(7), contrib=st3(10),
-            prev_pdf=out[13], remaining=out[14],
-            alive=out[15].astype(bool), lane=out[16],
-            env_scale=st3(17) if static.env_map_id >= 0 else state.env_scale,
+            lane=out[13],
+            prev_pdf=out[14] if mode == SampleMode.MIS else state.prev_pdf,
+            alive=out[0] < _DEAD_KEY,
         )
 
     def bounce_body(flat: FlatScene, key, iteration, pixel0, state: _BounceState,
@@ -266,7 +275,7 @@ def make_render_iteration(
                 worth_it, lambda s: _sort_state(flat, s), lambda s: s, state
             )
         alive = state.alive
-        pixel_idx = pixel0 + state.lane
+        pixel_idx = pixel0 + (state.lane & _LANE_MASK)
         contrib = state.contrib
         hit = closest_hit(
             flat, static, state.o, state.d, use_pallas=use_pallas, alive=alive,
@@ -290,18 +299,18 @@ def make_render_iteration(
                 alive=jnp.zeros_like(alive),
                 rays_traced=rays_traced,
             )
-        env_scale = state.env_scale
+        lane = state.lane
         if static.env_map_id >= 0:
             # DEFERRED env lookup: a lane takes this branch at most once
-            # per iteration (it dies on miss), and its d/prev_pdf freeze
-            # at death — so just record color here and do the 4-tap
-            # bilinear gather + MIS pdf gather ONCE per iteration in
-            # finish_state instead of once per bounce for the whole pool
-            # (the gathers were the envbunny bottleneck: ~4 gathers x
-            # pool x up-to-8 bounces)
-            env_scale = jnp.where(
-                (alive & miss)[..., None], state.color, env_scale
-            )
+            # per iteration (it dies on miss), and its d/prev_pdf/color
+            # freeze at death — so just FLAG the lane here (high bit of
+            # the lane column: one sort operand instead of an (N, 3)
+            # env_scale, whose value at death is the frozen `color`
+            # anyway) and do the 4-tap bilinear gather + MIS pdf gather
+            # ONCE per iteration in finish_state instead of once per
+            # bounce for the whole pool (the gathers were the envbunny
+            # bottleneck: ~4 gathers x pool x up-to-8 bounces)
+            lane = jnp.where(alive & miss, lane | _ENV_MISS_BIT, lane)
         alive = alive & ~miss
 
         params = material_by_geom(flat, static, hit.geom, hit.uv)
@@ -349,11 +358,9 @@ def make_render_iteration(
                 state.d,
                 state.color,
                 contrib,
-                env_scale,
                 state.prev_pdf,
-                state.remaining,
                 jnp.zeros_like(alive),
-                state.lane,
+                lane,
                 img,
                 rays_traced,
             )
@@ -424,12 +431,15 @@ def make_render_iteration(
             prev_pdf = jnp.where(
                 cont, jnp.where(is_delta, -1.0, srec.pdf), prev_pdf
             )
-        remaining = jnp.where(cont, state.remaining - 1, state.remaining)
-        alive = cont & (remaining > 0)
+        # depth budget: every lane alive at depth k has continued exactly k
+        # times, so the reference's per-ray `remainingBounces` counter is
+        # derivable from the scalar loop depth — one less pool field (and
+        # one less sort operand)
+        alive = cont & (depth + 1 < trace_depth)
 
         return _BounceState(
-            depth + 1, o, d, color, contrib, env_scale, prev_pdf, remaining,
-            alive, state.lane, img, rays_traced
+            depth + 1, o, d, color, contrib, prev_pdf,
+            alive, lane, img, rays_traced
         )
 
     def render_iteration(
@@ -444,13 +454,7 @@ def make_render_iteration(
             d=d,
             color=jnp.ones((n, 3), jnp.float32),
             contrib=jnp.zeros((n, 3), jnp.float32),
-            # env-less scenes carry a 1-row dummy: a full (n, 3) would ride
-            # the while_loop (and the sort) for nothing
-            env_scale=jnp.zeros(
-                (n if static.env_map_id >= 0 else 1, 3), jnp.float32
-            ),
             prev_pdf=jnp.full((n,), -1.0, jnp.float32),
-            remaining=jnp.full((n,), trace_depth, jnp.int32),
             alive=jnp.ones((n,), bool),
             lane=jnp.arange(n, dtype=jnp.int32),
             img=img,
@@ -499,8 +503,8 @@ def make_render_iteration(
                 cut = lambda a: a[:nxt] if a.shape[0] == pool_n else a
                 small = st._replace(
                     o=cut(st.o), d=cut(st.d), color=cut(st.color),
-                    contrib=cut(st.contrib), env_scale=cut(st.env_scale),
-                    prev_pdf=cut(st.prev_pdf), remaining=cut(st.remaining),
+                    contrib=cut(st.contrib),
+                    prev_pdf=cut(st.prev_pdf),
                     alive=cut(st.alive), lane=cut(st.lane),
                 )
                 small = run_pool(small, nxt, next_sizes[1:])
@@ -513,9 +517,7 @@ def make_render_iteration(
                     o=cat(small.o, st.o), d=cat(small.d, st.d),
                     color=cat(small.color, st.color),
                     contrib=cat(small.contrib, st.contrib),
-                    env_scale=cat(small.env_scale, st.env_scale),
                     prev_pdf=cat(small.prev_pdf, st.prev_pdf),
-                    remaining=cat(small.remaining, st.remaining),
                     alive=cat(small.alive, st.alive),
                     lane=cat(small.lane, st.lane),
                     rays_traced=small.rays_traced,
@@ -539,13 +541,7 @@ def make_render_iteration(
             d=d,
             color=jnp.ones((n, 3), jnp.float32),
             contrib=jnp.zeros((n, 3), jnp.float32),
-            # env-less scenes carry a 1-row dummy: a full (n, 3) would ride
-            # the while_loop (and the sort) for nothing
-            env_scale=jnp.zeros(
-                (n if static.env_map_id >= 0 else 1, 3), jnp.float32
-            ),
             prev_pdf=jnp.full((n,), -1.0, jnp.float32),
-            remaining=jnp.full((n,), trace_depth, jnp.int32),
             alive=jnp.ones((n,), bool),
             lane=jnp.arange(n, dtype=jnp.int32),
             img=img,
@@ -563,7 +559,10 @@ def make_render_iteration(
         at 640k rays (tools/sort_bench.py).  Unsorted pools: lane i ==
         pixel i, plain add."""
         contrib = state.contrib
+        lane = state.lane
         if static.env_map_id >= 0 and flat is not None:
+            env_missed = (lane & _ENV_MISS_BIT) != 0
+            lane = lane & _LANE_MASK
             uv = m.sphere_to_plane(state.d)
             env = bilinear_sample_u32(
                 flat.atlas_u32,
@@ -584,16 +583,15 @@ def make_render_iteration(
                     m.power_heuristic(state.prev_pdf, ep),
                     1.0,
                 )[..., None]
-            contrib = contrib + m.process_nan(state.env_scale * env * env_w)
-            state = state._replace(contrib=contrib)
+            env_scale = jnp.where(env_missed[..., None], state.color, 0.0)
+            contrib = contrib + m.process_nan(env_scale * env * env_w)
         if sort_rays:
             out = jax.lax.sort(
-                (state.lane, state.contrib[:, 0], state.contrib[:, 1],
-                 state.contrib[:, 2]),
+                (lane, contrib[:, 0], contrib[:, 1], contrib[:, 2]),
                 num_keys=1,
             )
             return state.img + jnp.stack(out[1:4], axis=1)
-        return state.img + state.contrib
+        return state.img + contrib
 
     def bounce_step(flat: FlatScene, key, iteration, state: _BounceState, pixel0=0):
         """Staged-mode body: ONE intersect+shade pass over the pool.

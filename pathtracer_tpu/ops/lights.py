@@ -99,7 +99,6 @@ def _emit_color_by_geom(flat: FlatScene, static: SceneStatic, geom_idx):
     """
     from pathtracer_tpu.scene.parser import LIGHT
 
-    f = flat.mat_f32
     groups: dict[int, list[int]] = {}
     for gi, (mid, mty) in enumerate(zip(static.geom_mats, static.geom_mat_types)):
         if mty == LIGHT:
@@ -109,7 +108,8 @@ def _emit_color_by_geom(flat: FlatScene, static: SceneStatic, geom_idx):
         mask = geom_idx == gis[0]
         for gi in gis[1:]:
             mask = mask | (geom_idx == gi)
-        val = jnp.stack([f[0, mid], f[1, mid], f[2, mid]], axis=-1)
+        # light albedos are compile-time facts — immediates, not table reads
+        val = jnp.array(static.mat_rows_f[mid][0:3], jnp.float32)
         out = jnp.where(mask[..., None], val, out)
     return out
 

@@ -81,12 +81,16 @@ def material_by_geom(flat: FlatScene, static: SceneStatic, geom_idx, uv) -> MatP
     lower to serial per-element loops (~10 ms per gather per bounce at
     640k rays), so this chain is ~50x cheaper for typical scenes.
 
-    Geoms sharing a material id share EVERY component, so the chain is one
-    select per UNIQUE material (masks built once, OR'd over the group's
-    geoms) rather than one per geom — bit-identical (each lane matches at
-    most one geom, so the grouped mask picks the same table value) and
-    roughly halves the per-bounce where cascade on scenes like cornell
-    where walls/boxes share the white diffuse material.
+    Two dedupe levels, both bit-identical to the naive per-geom chain
+    (each lane matches at most one geom, so merged masks pick the same
+    value):
+    - geoms sharing a material id share EVERY component, so masks are
+      built once per UNIQUE material and OR'd over the group's geoms;
+    - material params are compile-time facts (static.mat_rows_f/i), so
+      each component chain selects between IMMEDIATES, grouped by VALUE —
+      a component equal across materials (metallic on a typical cornell,
+      every tex id on untextured scenes) compiles to a constant or a
+      single select instead of one select per material.
     """
     ids = static.geom_mats
     groups: dict[int, list[int]] = {}
@@ -99,24 +103,33 @@ def material_by_geom(flat: FlatScene, static: SceneStatic, geom_idx, uv) -> MatP
             mask = mask | (geom_idx == gi)
         masks.append((mid, mask))
 
-    def chain(table_2d, comp, _ids, dtype):
-        out = jnp.zeros_like(geom_idx, dtype=dtype)
+    def chain(rows, comp, dtype):
+        by_val: dict = {}
         for mid, mask in masks:
-            out = jnp.where(mask, table_2d[comp, mid], out)
+            by_val.setdefault(rows[mid][comp], []).append(mask)
+        out = jnp.zeros_like(geom_idx, dtype=dtype)
+        for v, ms in by_val.items():
+            if v == 0:  # matches the unmatched-lane default — free
+                continue
+            mask = ms[0]
+            for mm in ms[1:]:
+                mask = mask | mm
+            out = jnp.where(mask, dtype(v), out)
         return out
-    f, i = flat.mat_f32, flat.mat_i32
+
+    sf, si = static.mat_rows_f, static.mat_rows_i
     const_albedo = jnp.stack(
-        [chain(f, 0, ids, jnp.float32), chain(f, 1, ids, jnp.float32), chain(f, 2, ids, jnp.float32)],
+        [chain(sf, 0, jnp.float32), chain(sf, 1, jnp.float32), chain(sf, 2, jnp.float32)],
         axis=-1,
     )
-    rough_c = chain(f, 3, ids, jnp.float32)
-    metal_c = chain(f, 4, ids, jnp.float32)
-    ior = chain(f, 5, ids, jnp.float32)
-    mtype = chain(i, 0, ids, jnp.int32)
-    atex = chain(i, 1, ids, jnp.int32)
-    mtex = chain(i, 2, ids, jnp.int32)
-    rtex = chain(i, 3, ids, jnp.int32)
-    ntex = chain(i, 4, ids, jnp.int32)
+    rough_c = chain(sf, 3, jnp.float32)
+    metal_c = chain(sf, 4, jnp.float32)
+    ior = chain(sf, 5, jnp.float32)
+    mtype = chain(si, 0, jnp.int32)
+    atex = chain(si, 1, jnp.int32)
+    mtex = chain(si, 2, jnp.int32)
+    rtex = chain(si, 3, jnp.int32)
+    ntex = chain(si, 4, jnp.int32)
 
     slot_a, slot_m, slot_r, slot_n = static.tex_slots
     albedo = (

@@ -109,6 +109,12 @@ class SceneStatic:
     # emission chains select only over light-material geoms)
     material_types: tuple  # sorted set of material types present (static →
     # absent BSDF lobes are never evaluated)
+    mat_rows_f: tuple  # per-material (r, g, b, roughness, metallic, ior)
+    # as STATIC python floats — material params are compile-time facts, so
+    # the per-ray select chains embed them as immediates and dedupe by
+    # VALUE (a component equal across materials compiles to one select or
+    # none), instead of reading traced table scalars per material
+    mat_rows_i: tuple  # per-material (type, atex, mtex, rtex, ntex) static
     scene_bounds: tuple  # (bmin xyz, bmax xyz) of ALL geometry — the ray
     # sort's spatial hash grid (the BVH root covers triangles only)
     analytic_lights: tuple  # (light_idx, geom_idx, geom_type) for non-OBJ lights
@@ -600,6 +606,14 @@ def build_flat_scene(
             for g in scene.geoms
         ),
         material_types=tuple(sorted({int(m.type) for m in scene.materials})),
+        mat_rows_f=tuple(
+            tuple(float(v) for v in mat_f32[i, 0:6])
+            for i in range(len(scene.materials))
+        ),
+        mat_rows_i=tuple(
+            tuple(int(v) for v in mat_i32[i, 0:5])
+            for i in range(len(scene.materials))
+        ),
         scene_bounds=_scene_bounds(scene, bvh),
         analytic_lights=tuple(
             (li, int(lg[li]), int(lty[li]))
