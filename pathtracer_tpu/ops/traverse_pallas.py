@@ -548,7 +548,7 @@ def _sub_walk_closest(
     base_f = slot * (S * 48)
     base_i = slot * (S * 24)
     base_p = slot * (S * 8)
-    tri0 = slot * (Tmax * 12)
+    tri0 = slot * (Tmax * 9)
     nt1 = Tmax - 1
 
     lstack_ref[0] = 0
@@ -601,7 +601,7 @@ def _sub_walk_closest(
             active = hit & (t_enter <= best_t) & leaf_valid
             for k in range(leaf_k):
                 lid = jnp.minimum(s + k, nt1)
-                trow = [btri_v[tri0 + lid * 12 + c] for c in range(9)]
+                trow = [btri_v[tri0 + lid * 9 + c] for c in range(9)]
                 th, tt, tu, tv = _moller_trumbore(trow, ox, oy, oz, dx, dy, dz)
                 take = active & th & (tt < best_t) & (s + k < e)
                 best_t = jnp.where(take, tt, best_t)
@@ -683,8 +683,8 @@ def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                 sem_ring.at[slot, 2],
             ).start()
             pltpu.make_async_copy(
-                subt_h.at[pl.ds(s_id * (Tmax * 12), Tmax * 12)],
-                btri_v.at[pl.ds(slot * (Tmax * 12), Tmax * 12)],
+                subt_h.at[pl.ds(s_id * (Tmax * 9), Tmax * 9)],
+                btri_v.at[pl.ds(slot * (Tmax * 9), Tmax * 9)],
                 sem_ring.at[slot, 3],
             ).start()
 
@@ -703,7 +703,7 @@ def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                 sem_ring.at[slot, 2],
             ).wait()
             pltpu.make_async_copy(
-                subt_h.at[pl.ds(0, Tmax * 12)], btri_v.at[pl.ds(0, Tmax * 12)],
+                subt_h.at[pl.ds(0, Tmax * 9)], btri_v.at[pl.ds(0, Tmax * 9)],
                 sem_ring.at[slot, 3],
             ).wait()
 
@@ -839,7 +839,7 @@ def closest_hit_stream_pallas(
             pltpu.SMEM((B * S * 48,), jnp.float32),               # ring bounds
             pltpu.SMEM((B * S * 24,), jnp.int32),                 # ring ints
             pltpu.SMEM((B * S * 8,), jnp.int32),                  # ring perms
-            pltpu.SMEM((B * Tmax * 12,), jnp.float32),            # ring tris
+            pltpu.SMEM((B * Tmax * 9,), jnp.float32),            # ring tris
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((B, 4)),
         ],
@@ -914,8 +914,8 @@ def _make_stream_occlusion_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                 sem_ring.at[slot, 1],
             ).start()
             pltpu.make_async_copy(
-                subt_h.at[pl.ds(s_id * (Tmax * 12), Tmax * 12)],
-                btri_v.at[pl.ds(slot * (Tmax * 12), Tmax * 12)],
+                subt_h.at[pl.ds(s_id * (Tmax * 9), Tmax * 9)],
+                btri_v.at[pl.ds(slot * (Tmax * 9), Tmax * 9)],
                 sem_ring.at[slot, 3],
             ).start()
 
@@ -929,14 +929,14 @@ def _make_stream_occlusion_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                 sem_ring.at[slot, 1],
             ).wait()
             pltpu.make_async_copy(
-                subt_h.at[pl.ds(0, Tmax * 12)], btri_v.at[pl.ds(0, Tmax * 12)],
+                subt_h.at[pl.ds(0, Tmax * 9)], btri_v.at[pl.ds(0, Tmax * 9)],
                 sem_ring.at[slot, 3],
             ).wait()
 
         def sub_walk(slot):
             base_f = slot * (S * 48)
             base_i = slot * (S * 24)
-            tri0 = slot * (Tmax * 12)
+            tri0 = slot * (Tmax * 9)
             lstack_ref[0] = 0
 
             def llap(state):
@@ -983,7 +983,7 @@ def _make_stream_occlusion_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                     active = hit & (t_enter <= cap) & leaf_valid
                     for k in range(leaf_k):
                         lid = jnp.minimum(s + k, nt1)
-                        trow = [btri_v[tri0 + lid * 12 + c] for c in range(9)]
+                        trow = [btri_v[tri0 + lid * 9 + c] for c in range(9)]
                         th, tt, _, _ = _moller_trumbore(trow, ox, oy, oz, dx, dy, dz)
                         blocked = (
                             active & th & (min_t - 1e-5 > tt)
@@ -1119,7 +1119,7 @@ def occlusion_stream_pallas(
             pltpu.SMEM((B * S * 48,), jnp.float32),
             pltpu.SMEM((B * S * 24,), jnp.int32),
             pltpu.SMEM((B * S * 8,), jnp.int32),
-            pltpu.SMEM((B * Tmax * 12,), jnp.float32),
+            pltpu.SMEM((B * Tmax * 9,), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((B, 4)),
         ],

@@ -74,7 +74,7 @@ class FlatScene(NamedTuple):
     str_subf: jnp.ndarray         # (n_sub*S*48,) f32 subtree-block AABBs
     str_subi: jnp.ndarray         # (n_sub*S*24,) i32 local links/cuts
     str_subp: jnp.ndarray         # (n_sub*S*8,) i32 per-octant orders
-    str_subt: jnp.ndarray         # (n_sub*Tmax*12,) f32 block triangles
+    str_subt: jnp.ndarray         # (n_sub*Tmax*9,) f32 block tris (v0,e1,e2)
     str_base: jnp.ndarray         # (n_sub,) i32 global first-tri id per block
     # materials — component-major (8, M): per-component (N,) gathers have
     # clean TPU layouts; row gathers of (N, 8) then column slices do not
@@ -381,7 +381,7 @@ def build_stream_tables(bvh: FlatBVH, tri_pk: np.ndarray,
         np.zeros(STREAM_SUB_NODES * 48, np.float32),
         np.zeros(STREAM_SUB_NODES * 24, np.int32),
         np.zeros(STREAM_SUB_NODES * 8, np.int32),
-        np.zeros(STREAM_SUB_TRIS * 12, np.float32),
+        np.zeros(STREAM_SUB_TRIS * 9, np.float32),
         np.zeros(1, np.int32), 0, 0, 0, 0,
     )
     if nt == 0 or resident_tables_fit(num_wide_nodes, nt):
@@ -400,7 +400,7 @@ def build_stream_tables(bvh: FlatBVH, tri_pk: np.ndarray,
         from pathtracer_tpu.ops.traverse_pallas import STREAM_BUFS as B
 
         smem = (
-            T * (48 + 8 + 8) + B * S * (48 + 24 + 8) + B * cand.sub_tris * 12
+            T * (48 + 8 + 8) + B * S * (48 + 24 + 8) + B * cand.sub_tris * 9
             + T + n_sub + S + S * 8 + 256
         ) * 4
         if smem <= STREAM_SMEM_BUDGET:
@@ -421,10 +421,15 @@ def build_stream_tables(bvh: FlatBVH, tri_pk: np.ndarray,
         [s.sub_link, s.sub_start, s.sub_end], axis=2
     ).reshape(-1).astype(np.int32)
     subp = s.sub_perm.reshape(-1).astype(np.int32)
-    subt = np.zeros((n_sub, s.sub_tris, 12), np.float32)
+    # tri payload packs ONLY the 9 floats Möller–Trumbore reads (v0,e1,e2):
+    # the DMA ring is the large-mesh bottleneck and the pad columns were
+    # 25% of the triangle bytes.  9·Tmax stays a multiple of 1024 (Tmax is
+    # 4096/2048/1024), keeping the block slices tile-aligned (CLAUDE.md
+    # Mosaic DMA rule).
+    subt = np.zeros((n_sub, s.sub_tris, 9), np.float32)
     for si in range(n_sub):
         b, c = int(s.tri_base[si]), int(s.tri_count[si])
-        subt[si, :c] = tri_pk[b : b + c]
+        subt[si, :c] = tri_pk[b : b + c, 0:9]
     subt = subt.reshape(-1)  # flat 1D: block tri reads are SMEM scalars
     return (
         topf.astype(np.float32), topl, topp,
