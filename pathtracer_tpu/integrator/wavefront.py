@@ -49,7 +49,7 @@ from pathtracer_tpu.ops.materials import (
     bsdf_eval,
     scatter_sample,
 )
-from pathtracer_tpu.ops.texture import bilinear_sample_u32
+from pathtracer_tpu.ops.texture import bilinear_sample_u32_meta
 from pathtracer_tpu.ops.traverse import closest_hit
 from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
 from pathtracer_tpu.scene.parser import DIELECTRIC, LIGHT, SPHERE
@@ -564,11 +564,11 @@ def make_render_iteration(
             env_missed = (lane & _ENV_MISS_BIT) != 0
             lane = lane & _LANE_MASK
             uv = m.sphere_to_plane(state.d)
-            env = bilinear_sample_u32(
-                flat.atlas_u32,
-                flat.tex_table,
-                jnp.full((n,), static.env_map_id, jnp.int32),
-                uv,
+            # env-map metadata as compile-time immediates (tex_rows) — the
+            # per-lane tex_table row gather is a tiny-table serial fusion
+            eoff, ew, eh, efmt = static.tex_rows[static.env_map_id]
+            env = bilinear_sample_u32_meta(
+                flat.atlas_u32, eoff, ew, eh, bool(efmt), uv
             )
             env_w = 1.0
             if mode == SampleMode.MIS and env_nee:

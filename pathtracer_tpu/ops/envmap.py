@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from pathtracer_tpu.ops.texture import bilinear_sample_u32
+from pathtracer_tpu.ops.texture import bilinear_sample_u32_meta
 from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
 from pathtracer_tpu.utils.config import PI, TWO_PI
 
@@ -55,11 +55,11 @@ def sample_env(flat: FlatScene, static: SceneStatic, u1, u2, u3):
     pdf_w = pdf_uv / jnp.maximum(2.0 * PI * PI * cos_e, 1e-8)
 
     uv = jnp.stack([u, v], axis=-1)
-    le = bilinear_sample_u32(
-        flat.atlas_u32,
-        flat.tex_table,
-        jnp.full(u.shape, static.env_map_id, jnp.int32),
-        uv,
+    # env-map metadata as compile-time immediates (SceneStatic.tex_rows) —
+    # the per-lane tex_table row gather is a tiny-table serial fusion
+    eoff, ew, eh, efmt = static.tex_rows[static.env_map_id]
+    le = bilinear_sample_u32_meta(
+        flat.atlas_u32, eoff, ew, eh, bool(efmt), uv
     )
     return direction, le, pdf_w
 

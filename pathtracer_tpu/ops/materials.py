@@ -31,10 +31,9 @@ import jax.numpy as jnp
 
 from pathtracer_tpu.ops import math as m
 from pathtracer_tpu.ops.texture import (
+    bilinear_sample_u32_1ch_meta,
+    bilinear_sample_u32_meta,
     sample_or_const,
-    sample_or_const_1ch,
-    sample_or_const_u32,
-    sample_or_const_u32_1ch,
 )
 from pathtracer_tpu.scene.flatscene import FlatScene, SceneStatic
 from pathtracer_tpu.scene.parser import (
@@ -103,10 +102,10 @@ def material_by_geom(flat: FlatScene, static: SceneStatic, geom_idx, uv) -> MatP
             mask = mask | (geom_idx == gi)
         masks.append((mid, mask))
 
-    def chain(rows, comp, dtype):
+    def chain_fn(getval, dtype):
         by_val: dict = {}
         for mid, mask in masks:
-            by_val.setdefault(rows[mid][comp], []).append(mask)
+            by_val.setdefault(getval(mid), []).append(mask)
         out = jnp.zeros_like(geom_idx, dtype=dtype)
         for v, ms in by_val.items():
             if v == 0:  # matches the unmatched-lane default — free
@@ -117,6 +116,9 @@ def material_by_geom(flat: FlatScene, static: SceneStatic, geom_idx, uv) -> MatP
             out = jnp.where(mask, dtype(v), out)
         return out
 
+    def chain(rows, comp, dtype):
+        return chain_fn(lambda mid: rows[mid][comp], dtype)
+
     sf, si = static.mat_rows_f, static.mat_rows_i
     const_albedo = jnp.stack(
         [chain(sf, 0, jnp.float32), chain(sf, 1, jnp.float32), chain(sf, 2, jnp.float32)],
@@ -126,31 +128,71 @@ def material_by_geom(flat: FlatScene, static: SceneStatic, geom_idx, uv) -> MatP
     metal_c = chain(sf, 4, jnp.float32)
     ior = chain(sf, 5, jnp.float32)
     mtype = chain(si, 0, jnp.int32)
-    atex = chain(si, 1, jnp.int32)
-    mtex = chain(si, 2, jnp.int32)
-    rtex = chain(si, 3, jnp.int32)
-    ntex = chain(si, 4, jnp.int32)
 
-    slot_a, slot_m, slot_r, slot_n = static.tex_slots
-    albedo = (
-        sample_or_const_u32(flat.atlas_u32, flat.tex_table, atex, const_albedo, uv)
-        if slot_a else const_albedo
+    def tex_meta(comp):
+        """Per-lane texture metadata for material tex slot `comp`:
+        (offset, width, height, has_tex, rgbe) — all chained IMMEDIATES
+        from SceneStatic.tex_rows instead of a per-lane (T, 4) tex_table
+        row gather (tiny-table row gathers lower to serial strided
+        fusions, CLAUDE.md rules 2-3).  Values match table[tid] exactly
+        for textured lanes; untextured lanes get 0s, discarded by the
+        has_tex select just like sample_or_const's tid<0 select."""
+        trs = static.tex_rows
+
+        def val(mid, k):
+            t = si[mid][comp]
+            return trs[t][k] if t >= 0 else 0
+
+        offset = chain_fn(lambda mid: val(mid, 0), jnp.int32)
+        width = chain_fn(lambda mid: val(mid, 1), jnp.int32)
+        height = chain_fn(lambda mid: val(mid, 2), jnp.int32)
+        has = chain_fn(lambda mid: si[mid][comp] >= 0, jnp.bool_)
+        fmts = {trs[si[mid][comp]][3] for mid, _ in masks if si[mid][comp] >= 0}
+        rgbe = (
+            chain_fn(lambda mid: bool(val(mid, 3)), jnp.bool_)
+            if len(fmts) > 1
+            else bool(fmts and fmts == {1})
+        )
+        return offset, width, height, has, rgbe
+
+    # a slot is live only if a material actually USED by a geom carries the
+    # map (static.tex_slots is any-material; an unused textured material
+    # would otherwise emit 4 wasted atlas gathers per lane)
+    used = lambda comp: any(si[mid][comp] >= 0 for mid, _ in masks)
+    slot_a, slot_m, slot_r, slot_n = (
+        static.tex_slots[0] and used(1),
+        static.tex_slots[1] and used(2),
+        static.tex_slots[2] and used(3),
+        static.tex_slots[3] and used(4),
     )
-    rough = (
-        sample_or_const_u32_1ch(flat.atlas_u32, flat.tex_table, rtex, rough_c, uv)
-        if slot_r else rough_c
-    )
-    metal = (
-        sample_or_const_u32_1ch(flat.atlas_u32, flat.tex_table, mtex, metal_c, uv)
-        if slot_m else metal_c
-    )
+    if slot_a:
+        off, w, h, has, rgbe = tex_meta(1)
+        tex = bilinear_sample_u32_meta(flat.atlas_u32, off, w, h, rgbe, uv)
+        albedo = jnp.where(has[..., None], tex, const_albedo)
+    else:
+        albedo = const_albedo
+    if slot_r:
+        off, w, h, has, _ = tex_meta(3)
+        tex = bilinear_sample_u32_1ch_meta(flat.atlas_u32, off, w, h, uv)
+        rough = jnp.where(has, tex, rough_c)
+    else:
+        rough = rough_c
+    if slot_m:
+        off, w, h, has, _ = tex_meta(2)
+        tex = bilinear_sample_u32_1ch_meta(flat.atlas_u32, off, w, h, uv)
+        metal = jnp.where(has, tex, metal_c)
+    else:
+        metal = metal_c
     nmap_const = jnp.broadcast_to(
         jnp.array([0.5, 0.5, 1.0], jnp.float32), const_albedo.shape
     )
-    nmap = (
-        sample_or_const_u32(flat.atlas_u32, flat.tex_table, ntex, nmap_const, uv)
-        if slot_n else nmap_const
-    )
+    has_nmap = chain_fn(lambda mid: si[mid][4] >= 0, jnp.bool_)
+    if slot_n:
+        off, w, h, has, rgbe = tex_meta(4)
+        tex = bilinear_sample_u32_meta(flat.atlas_u32, off, w, h, rgbe, uv)
+        nmap = jnp.where(has[..., None], tex, nmap_const)
+    else:
+        nmap = nmap_const
     return MatParams(
         type=mtype,
         albedo=albedo,
@@ -159,7 +201,7 @@ def material_by_geom(flat: FlatScene, static: SceneStatic, geom_idx, uv) -> MatP
         ior=ior,
         emit=const_albedo,
         normal_map=nmap,
-        has_normal_map=ntex >= 0,
+        has_normal_map=has_nmap,
     )
 
 

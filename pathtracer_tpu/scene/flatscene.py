@@ -141,6 +141,11 @@ class SceneStatic:
     tex_slots: tuple      # (albedo, metallic, roughness, normal) — whether
     # ANY material carries that map (static → absent samplers skip their
     # 4-12 atlas gathers per bounce)
+    tex_rows: tuple       # per-texture (offset, width, height, format) as
+    # STATIC python ints — texture geometry is a compile-time fact, so
+    # samplers chain the metadata as immediates instead of row-gathering
+    # flat.tex_table per lane (tiny-table row gathers lower to serial
+    # strided fusions, CLAUDE.md rules 2-3)
     width: int
     height: int
     trace_depth: int
@@ -647,6 +652,9 @@ def build_flat_scene(
             any(m.metallic_tex >= 0 for m in scene.materials),
             any(m.roughness_tex >= 0 for m in scene.materials),
             any(m.normal_tex >= 0 for m in scene.materials),
+        ),
+        tex_rows=tuple(
+            tuple(int(v) for v in row) for row in np.asarray(tex_table)
         ),
         width=scene.camera.resolution[0],
         height=scene.camera.resolution[1],
