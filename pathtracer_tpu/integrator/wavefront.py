@@ -268,8 +268,10 @@ def make_render_iteration(
             # envbunny run all depth laps with a mostly-dead pool).
             # Results are bit-identical either way: RNG keys on lane and
             # contributions ride the ray.
+            every = max(int(getattr(opts, "sort_every", 1)), 1)
+            due = True if every == 1 else (depth % every) == 0
             worth_it = (depth == 0) | (
-                jnp.sum(state.alive.astype(jnp.int32)) * 4 > pool_n
+                due & (jnp.sum(state.alive.astype(jnp.int32)) * 4 > pool_n)
             )
             state = jax.lax.cond(
                 worth_it, lambda s: _sort_state(flat, s), lambda s: s, state

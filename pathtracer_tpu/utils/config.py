@@ -64,6 +64,11 @@ class RenderOptions:
     shadow_sort: bool = False     # re-sort shadow rays inside the
     # occlusion pass (packet purity for the any-hit kernel); measured
     # per-scene — see tools/bench_r3.py
+    sort_every: int = 1           # re-sort the pool every k-th bounce only
+    # (depth 0 always sorts).  Packet purity decays as rays scatter, so
+    # k>1 trades kernel time for ~6 ms/bounce of sort cost; output is
+    # bit-identical for any k (RNG keys on lane, contributions ride the
+    # ray, the image scatter is collision-free)
     packet_p: int = 2             # wide-kernel stack pops per while-lap
     packet_q: int = 4             # wide-kernel leaf drains per while-lap
     packet_rows: int = 8          # packet shape: rows x 128 rays

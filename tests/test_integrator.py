@@ -284,6 +284,7 @@ class TestSortedPoolEquivalence:
             "unsorted": replace(base, compaction=False),
             "sorted": replace(base, pool_shrink=False),
             "shrunk": base,
+            "sparse_sort": replace(base, sort_every=2),
         }.items():
             r = Renderer(scene, opts=o, resolution=(64, 32), trace_depth=6)
             r.step(2)
@@ -295,3 +296,7 @@ class TestSortedPoolEquivalence:
 
     def test_shrunk_bit_identical(self, images):
         np.testing.assert_array_equal(images["unsorted"], images["shrunk"])
+
+    def test_sparse_sort_bit_identical(self, images):
+        # sort_every=2 skips every other re-sort: a pure scheduling change
+        np.testing.assert_array_equal(images["unsorted"], images["sparse_sort"])
