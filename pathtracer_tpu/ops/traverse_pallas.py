@@ -626,7 +626,7 @@ def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
         topf_h, topl_h, topp_h, subf_h, subi_h, subp_h, subt_h,
         t_ref_o, tri_ref_o, u_ref_o, v_ref_o,
-        tstack_ref, subq_ref, lstack_ref, leafq_ref,
+        tstack_ref, subq_ref, subb_ref, startq_ref, lstack_ref, leafq_ref,
         topf_s, topl_s, topp_s,
         bwf_s, bwi_s, bwp_s, btri_v,
         sem_top, sem_ring,
@@ -662,11 +662,9 @@ def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
         tstack_ref[0] = 0
         T1 = topf_s.shape[0] // 48 - 1
 
-        def start_dma(ds):
+        def start_dma(s_id, slot):
             # block sources are FLAT 1D (nodes) / row-aligned 2D (tris):
             # Mosaic rejects dynamic single-row slices of 2D memrefs
-            s_id = subq_ref[ds]
-            slot = jax.lax.rem(ds, n_buf)
             pltpu.make_async_copy(
                 subf_h.at[pl.ds(s_id * (S * 48), S * 48)],
                 bwf_s.at[pl.ds(slot * (S * 48), S * 48)],
@@ -707,8 +705,17 @@ def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                 sem_ring.at[slot, 3],
             ).wait()
 
+        def block_live(bf, cap):
+            # re-test a queued subtree's root AABB (bounds live in the top
+            # tables at flat offset bf) against the CURRENT per-lane cap:
+            # best_t only tightens, so a block beaten since discovery can
+            # be skipped — DMA and walk — without changing any result
+            nf = [topf_s[bf + k] for k in range(6)]
+            hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
+            return jnp.any(hit & (t_enter <= cap))
+
         def lap(state):
-            tsp, shead, stail, ds = state
+            tsp, scur, stail, shead, ds = state
             best_t = t_ref[:]
 
             # --- top phase: pop up to p_nodes top nodes ---
@@ -736,43 +743,57 @@ def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                     tstack_ref[new_sp] = link
                     new_sp = new_sp + (any_c & (link >= 0)).astype(jnp.int32)
                     subq_ref[new_tail] = -(link + 2)
+                    subb_ref[new_tail] = bf
                     new_tail = new_tail + (any_c & is_sub).astype(jnp.int32)
 
-            # --- DMA phase: keep up to n_buf blocks in flight ---
-            def dma_body(d):
-                start_dma(d)
-                return d + 1
+            # --- DMA phase: keep up to n_buf UNPRUNED blocks in flight ---
+            # (discovery cursor scur scans the queue; beaten entries are
+            # skipped without consuming a ring slot)
+            def dma_body(st):
+                c, d = st
+                live = block_live(subb_ref[c], t_ref[:])
+                startq_ref[d] = c  # branchless: next live entry overwrites
 
-            ds = jax.lax.while_loop(
-                lambda d: (d < new_tail) & (d - shead < n_buf), dma_body, ds
+                @pl.when(live)
+                def _():
+                    start_dma(subq_ref[c], jax.lax.rem(d, n_buf))
+
+                return c + 1, d + live.astype(jnp.int32)
+
+            scur, ds = jax.lax.while_loop(
+                lambda st: (st[0] < new_tail) & (st[1] - shead < n_buf),
+                dma_body, (scur, ds)
             )
 
             # --- walk phase: drain ONE ready subtree ---
-            new_head = shead
-
             @pl.when(shead < ds)
             def _():
                 slot = jax.lax.rem(shead, n_buf)
-                wait_dma(slot)
-                s_id = subq_ref[shead]
-                _sub_walk_closest(
-                    leaf_k, p_nodes, q_leaves, S, Tmax,
-                    octant, tri_base_ref[s_id], slot,
-                    ox, oy, oz, dx, dy, dz, idx, idy, idz,
-                    bwf_s, bwi_s, bwp_s, btri_v,
-                    t_ref, tri_out_ref, u_ref, v_ref, lstack_ref, leafq_ref,
-                )
+                wait_dma(slot)  # ALWAYS consume the semaphore
+                didx = startq_ref[shead]
+
+                @pl.when(block_live(subb_ref[didx], t_ref[:]))
+                def _():
+                    s_id = subq_ref[didx]
+                    _sub_walk_closest(
+                        leaf_k, p_nodes, q_leaves, S, Tmax,
+                        octant, tri_base_ref[s_id], slot,
+                        ox, oy, oz, dx, dy, dz, idx, idy, idz,
+                        bwf_s, bwi_s, bwp_s, btri_v,
+                        t_ref, tri_out_ref, u_ref, v_ref, lstack_ref,
+                        leafq_ref,
+                    )
 
             new_head = shead + (shead < ds).astype(jnp.int32)
-            return new_sp, new_head, new_tail, ds
+            return new_sp, scur, new_tail, new_head, ds
 
         alive_any = jnp.any(t0_ref.at[0][:] >= 0.0)
         jax.lax.while_loop(
-            lambda st: (st[0] > 0) | (st[1] < st[2]),
+            lambda st: (st[0] > 0) | (st[1] < st[2]) | (st[3] < st[4]),
             lap,
             (
                 jnp.where(alive_any, jnp.int32(1), jnp.int32(0)),
-                jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
             ),
         )
 
@@ -831,6 +852,8 @@ def closest_hit_stream_pallas(
         scratch_shapes=[
             pltpu.SMEM((T + 8 * P_NODES + 8,), jnp.int32),        # top stack
             pltpu.SMEM((n_sub + 8 * P_NODES + 8,), jnp.int32),    # sub queue
+            pltpu.SMEM((n_sub + 8 * P_NODES + 8,), jnp.int32),    # sub bounds idx
+            pltpu.SMEM((n_sub + 8 * P_NODES + 8,), jnp.int32),    # started->queue
             pltpu.SMEM((S + 8 * P_NODES + 8,), jnp.int32),        # local stack
             pltpu.SMEM((S * 8 + 8 * P_NODES + 8,), jnp.int32),    # local leafq
             pltpu.SMEM((T * 48,), jnp.float32),                   # top bounds
@@ -870,7 +893,7 @@ def _make_stream_occlusion_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, mint_ref, occ0_ref,
         topf_h, topl_h, topp_h, subf_h, subi_h, subp_h, subt_h,
         occ_ref_o,
-        tstack_ref, subq_ref, lstack_ref, leafq_ref,
+        tstack_ref, subq_ref, subb_ref, startq_ref, lstack_ref, leafq_ref,
         topf_s, topl_s, topp_s,
         bwf_s, bwi_s, bwp_s, btri_v,
         sem_top, sem_ring,
@@ -900,9 +923,7 @@ def _make_stream_occlusion_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
         T1 = topf_s.shape[0] // 48 - 1
         nt1 = Tmax - 1
 
-        def start_dma(ds):
-            s_id = subq_ref[ds]
-            slot = jax.lax.rem(ds, n_buf)
+        def start_dma(s_id, slot):
             pltpu.make_async_copy(
                 subf_h.at[pl.ds(s_id * (S * 48), S * 48)],
                 bwf_s.at[pl.ds(slot * (S * 48), S * 48)],
@@ -998,8 +1019,17 @@ def _make_stream_occlusion_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                 (jnp.int32(1), jnp.int32(0)),
             )
 
+        def block_live(bf):
+            # re-test a queued subtree root vs the CURRENT blocked set (a
+            # lane's cap collapses to -FLT_MAX once blocked) — pure
+            # pruning, results unchanged (see the closest kernel)
+            cap = jnp.where(occ_ref[:] == 0, min_t, -FLT_MAX)
+            nf = [topf_s[bf + k] for k in range(6)]
+            hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
+            return jnp.any(hit & (t_enter <= cap))
+
         def lap(state):
-            tsp, shead, stail, ds, _done = state
+            tsp, scur, stail, shead, ds, _done = state
             occ = occ_ref[:]
             cap = jnp.where(occ == 0, min_t, -FLT_MAX)
 
@@ -1025,37 +1055,55 @@ def _make_stream_occlusion_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                     tstack_ref[new_sp] = link
                     new_sp = new_sp + (any_c & (link >= 0)).astype(jnp.int32)
                     subq_ref[new_tail] = -(link + 2)
+                    subb_ref[new_tail] = bf
                     new_tail = new_tail + (any_c & is_sub).astype(jnp.int32)
 
             # once done, start no NEW block DMAs — but pending ones MUST
             # still be waited below (exiting the kernel with in-flight
-            # DMAs leaves stale semaphore counts for the next grid step)
-            ds = jax.lax.while_loop(
-                lambda d: (d < new_tail) & (d - shead < n_buf) & ~_done,
-                lambda d: (start_dma(d), d + 1)[1], ds
+            # DMAs leaves stale semaphore counts for the next grid step).
+            # Entries whose block no longer reaches any unblocked lane are
+            # skipped without consuming a ring slot.
+            def dma_body(st):
+                c, d = st
+                live = block_live(subb_ref[c])
+                startq_ref[d] = c
+
+                @pl.when(live)
+                def _():
+                    start_dma(subq_ref[c], jax.lax.rem(d, n_buf))
+
+                return c + 1, d + live.astype(jnp.int32)
+
+            scur, ds = jax.lax.while_loop(
+                lambda st: (st[0] < new_tail) & (st[1] - shead < n_buf)
+                & ~_done,
+                dma_body, (scur, ds)
             )
 
             @pl.when(shead < ds)
             def _():
-                wait_dma(jax.lax.rem(shead, n_buf))
-                # when done the walk is ~free: every lane cap is -FLT_MAX,
-                # so the local root pop activates nothing
-                sub_walk(jax.lax.rem(shead, n_buf))
+                slot = jax.lax.rem(shead, n_buf)
+                wait_dma(slot)  # ALWAYS consume the semaphore
+
+                @pl.when(block_live(subb_ref[startq_ref[shead]]))
+                def _():
+                    sub_walk(slot)
 
             new_head = shead + (shead < ds).astype(jnp.int32)
             done = ~jnp.any(occ_ref[:] == 0)
-            return new_sp, new_head, new_tail, ds, done
+            return new_sp, scur, new_tail, new_head, ds, done
 
         alive_any = jnp.any(min_t >= 0.0)
         jax.lax.while_loop(
             # run until blocked-everywhere (done), BUT always drain
             # in-flight DMAs (shead < ds) before exiting
-            lambda st: (((st[0] > 0) | (st[1] < st[2])) & ~st[4])
-            | (st[1] < st[3]),
+            lambda st: (((st[0] > 0) | (st[1] < st[2])) & ~st[5])
+            | (st[3] < st[4]),
             lap,
             (
                 jnp.where(alive_any, jnp.int32(1), jnp.int32(0)),
-                jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.bool_(False),
             ),
         )
 
@@ -1111,6 +1159,8 @@ def occlusion_stream_pallas(
         scratch_shapes=[
             pltpu.SMEM((T + 8 * P_NODES + 8,), jnp.int32),
             pltpu.SMEM((n_sub + 8 * P_NODES + 8,), jnp.int32),
+            pltpu.SMEM((n_sub + 8 * P_NODES + 8,), jnp.int32),  # bounds idx
+            pltpu.SMEM((n_sub + 8 * P_NODES + 8,), jnp.int32),  # started->queue
             pltpu.SMEM((S + 8 * P_NODES + 8,), jnp.int32),
             pltpu.SMEM((S * 8 + 8 * P_NODES + 8,), jnp.int32),
             pltpu.SMEM((T * 48,), jnp.float32),

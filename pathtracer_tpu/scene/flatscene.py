@@ -406,7 +406,8 @@ def build_stream_tables(bvh: FlatBVH, tri_pk: np.ndarray,
 
         smem = (
             T * (48 + 8 + 8) + B * S * (48 + 24 + 8) + B * cand.sub_tris * 9
-            + T + n_sub + S + S * 8 + 256
+            + T + 3 * n_sub + S + S * 8 + 256  # 3x: queue + bounds-idx +
+            # started->queue map (subtree early-out pruning)
         ) * 4
         if smem <= STREAM_SMEM_BUDGET:
             s = cand
