@@ -174,8 +174,15 @@ def make_render_iteration(
     # coherent after the first bounce and dead rays cluster into packets
     # that exit at the root — sorted packets traverse ~3x faster.  The
     # sort itself is one multi-operand lax.sort (~46 ms at 640k rays);
-    # worth it only when the mesh makes traversal expensive
-    sort_rays = bool(opts.compaction) and static.num_tris >= 512
+    # worth it when the mesh makes traversal expensive, OR when the scene
+    # is textured: textured scenes pay 4 atlas gathers per LANE per bounce
+    # whether the lane is alive or not, so the sort's dead-lane clustering
+    # + the straggler pool shrink cut the tap count with liveness (e.g.
+    # texturecube is 53%/11%/4% alive at depths 1/2/3 — full-pool taps
+    # were ~75% of its loop; one-window A/B 16.9 vs 9.2 Mrays/s, +84%)
+    sort_rays = bool(opts.compaction) and (
+        static.num_tris >= 512 or any(static.tex_slots)
+    )
     # dedicated shadow-ray re-sort inside the occlusion pass (packet
     # purity for the any-hit kernel); only pays on mesh scenes
     shadow_sort = bool(getattr(opts, "shadow_sort", False)) and sort_rays
