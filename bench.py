@@ -25,6 +25,7 @@ SCENES = [
     ("cornell_mis", "/root/reference/scenes/cornell.txt", "mis", 16, None),
     ("glassbunny", str(_HERE / "scenes/glassbunny.txt"), "mis", 8, None),
     ("envbunny", str(_HERE / "scenes/envbunny.txt"), "mis", 4, None),
+    ("texturecube", str(_HERE / "scenes/texturecube.txt"), "mis", 8, None),
 ]
 
 
