@@ -117,6 +117,18 @@ class Renderer:
             or not _packet_tables_fit(self.flat, self.static)
         ):
             self.opts = _dc_replace(self.opts, pallas_traversal=False)
+        # straggler-tail scenes (env misses / textured) sit at a few %
+        # liveness for much of the depth budget — a 3rd shrink level
+        # (pool/64) measured +3-5% on envbunny and texturecube (one-window
+        # ABAB, bit-identical); mesh-only scenes keep liveness high and
+        # stay at 2 levels (untested there, and each level grows the
+        # compiled program)
+        if (
+            self.opts.packet_auto
+            and self.opts.shrink_levels == 2
+            and (self.static.env_map_id >= 0 or self.static.has_textures)
+        ):
+            self.opts = _dc_replace(self.opts, shrink_levels=3)
         self.devices = int(devices) if devices else 1
         self._k = 1  # iterations per dispatch (fused single-device only)
         # spatial swizzle: lane l renders pixel pixel_order[l] so traversal

@@ -486,7 +486,8 @@ def make_render_iteration(
         ceil_tile = lambda v: -((-v) // tile) * tile
         sizes: list[int] = []
         cur = n
-        while bool(opts.pool_shrink) and sort_rays and len(sizes) < 2:
+        max_levels = max(int(getattr(opts, "shrink_levels", 2)), 0)
+        while bool(opts.pool_shrink) and sort_rays and len(sizes) < max_levels:
             nxt = ceil_tile(max(cur // 4, 1))
             if not 0 < nxt < cur:
                 break

@@ -64,6 +64,10 @@ class RenderOptions:
     shadow_sort: bool = False     # re-sort shadow rays inside the
     # occlusion pass (packet purity for the any-hit kernel); measured
     # per-scene — see tools/bench_r3.py
+    shrink_levels: int = 2        # pool_shrink depth: each level quarters
+    # the pool (640k -> 160k -> 40k -> ...).  2 covers straggler tails to
+    # 1/16th; deeper levels only pay when liveness sits under ~1.5% for
+    # several bounces (each level adds a compiled while body + sort)
     sort_every: int = 1           # re-sort the pool every k-th bounce only
     # (depth 0 always sorts).  Packet purity decays as rays scatter, so
     # k>1 trades kernel time for ~6 ms/bounce of sort cost; output is

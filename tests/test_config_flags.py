@@ -138,3 +138,33 @@ class TestShowNormal:
         # normal+1 lies in [0, 2]; hits are strictly positive somewhere
         assert img.min() >= 0.0 and img.max() <= 2.0
         assert img.max() > 0.0
+
+
+class TestShrinkLevels:
+    def test_deeper_shrink_is_bit_identical(self):
+        """pool_shrink recursion depth must not change output.
+
+        packet_rows=1 makes the shrink tile 128 lanes so a 64x64 pool
+        (4096 lanes) genuinely exercises THREE nested shrink phases
+        (4096 -> 1024 -> 256 -> 128) — at the default tile the deeper
+        levels would never trigger at test resolution (vacuous pass).
+        Straggler-tail scenes (env/textured) default to 3 levels via the
+        packet_auto policy (integrator/render.py); this locks the
+        bit-identity contract that policy relies on.
+        """
+        from pathtracer_tpu.integrator.render import Renderer
+
+        imgs = []
+        for levels in (0, 2, 3):
+            r = Renderer(
+                "scenes/texturecube.txt",
+                opts=RenderOptions(
+                    sample_mode=SampleMode.MIS, shrink_levels=levels,
+                    packet_rows=1, packet_auto=False,
+                ),
+                resolution=(64, 64),
+            )
+            r.step(4)
+            imgs.append(r.ldr_image())
+        np.testing.assert_array_equal(imgs[0], imgs[1])
+        np.testing.assert_array_equal(imgs[1], imgs[2])
