@@ -111,6 +111,13 @@ class Renderer:
                 # the (2,4,8) point, 24.50 vs 23.76 at this one); the env/
                 # texture scenes where it measured flat are excluded above
                 shadow_sort=True,
+                # half-pool first shrink level: this class's liveness
+                # lingers in the 25-50% band for the tail bounces
+                # (glassbunny 50/42/35% at depths 5-7, tools/
+                # liveness_probe.py) where the quarter ladder never fires;
+                # the per-bounce sort already runs here so the boundary is
+                # free.  Bit-identical (TestShrinkLevels).
+                shrink_half=True,
             )
         if self.opts.pallas_traversal and (
             (jax.default_backend() == "cpu" and not self.opts.interpret)

@@ -186,6 +186,37 @@ def make_render_iteration(
     # dedicated shadow-ray re-sort inside the occlusion pass (packet
     # purity for the any-hit kernel); only pays on mesh scenes
     shadow_sort = bool(getattr(opts, "shadow_sort", False)) and sort_rays
+    # straggler-phase pool-shrink ladder (see run-pool below).  Decoupled
+    # from the per-bounce purity sort: analytic scenes never sort (the
+    # lockstep sweep has no packets to purify) but OPEN analytic scenes
+    # (mis_test: 5 sphere lights over floating ramps, most lanes die to
+    # the void by depth 2) still waste full-pool sweeps on dead lanes —
+    # the shrink ladder alone fixes that, paying only one alive-major
+    # sort per SHRINK BOUNDARY (2-3 per iteration), not per bounce.
+    # Closed analytic scenes (cornell) exit the depth budget with high
+    # liveness, so the shrink cond below never fires and the ladder
+    # costs nothing at runtime.
+    shrink_ok = bool(opts.pool_shrink) and (sort_rays or static.num_tris == 0)
+    _tile = max(int(opts.packet_rows), 1) * 128
+    _ceil_tile = lambda v: -((-v) // _tile) * _tile
+    # ladder entries are (pool_size, divisor): the level fires once
+    # alive * divisor <= parent pool (i.e. the survivors FIT its pool).
+    # An optional half level (divisor 2) leads for mesh scenes whose
+    # liveness lingers in the 25-50% band (see RenderOptions.shrink_half);
+    # the rest of the ladder quarters as before.
+    shrink_sizes: list[tuple[int, int]] = []
+    _cur = n
+    _divs = [4] * max(int(getattr(opts, "shrink_levels", 2)), 0)
+    if bool(getattr(opts, "shrink_half", False)) and sort_rays:
+        _divs = [2] + _divs  # the half level rides ON TOP of shrink_levels
+    for _f in _divs:
+        if not shrink_ok:
+            break
+        _nxt = _ceil_tile(max(_cur // _f, 1))
+        if not 0 < _nxt < _cur:
+            break
+        shrink_sizes.append((_nxt, _f))
+        _cur = _nxt
     env_nee = bool(opts.env_importance) and static.env_map_id >= 0
     # Is NEE capable of a nonzero contribution AT ALL in this scene?  The
     # reference's lightSample has branches only for triangle and sphere
@@ -482,28 +513,20 @@ def make_render_iteration(
         # tails on env scenes sit at a few % liveness for most of the
         # depth budget).  Bit-identical: RNG keys on lane, contributions
         # ride the ray, and the merged state un-permutes in finish_state.
-        tile = max(int(opts.packet_rows), 1) * 128
-        ceil_tile = lambda v: -((-v) // tile) * tile
-        sizes: list[int] = []
-        cur = n
-        max_levels = max(int(getattr(opts, "shrink_levels", 2)), 0)
-        while bool(opts.pool_shrink) and sort_rays and len(sizes) < max_levels:
-            nxt = ceil_tile(max(cur // 4, 1))
-            if not 0 < nxt < cur:
-                break
-            sizes.append(nxt)
-            cur = nxt
+        sizes = shrink_sizes
 
         def run_pool(s: _BounceState, pool_n: int, next_sizes) -> _BounceState:
             body = partial(bounce_body, flat, key, iteration, pixel0,
                            pool_n=pool_n)
             if not next_sizes:
                 return jax.lax.while_loop(cond, body, s)
-            nxt = next_sizes[0]
+            nxt, div = next_sizes[0]
 
             def cond_l(st: _BounceState):
+                # keep running this pool while the survivors would NOT fit
+                # the next one (alive > pool/div ⇒ alive could exceed nxt)
                 return cond(st) & (
-                    jnp.sum(st.alive.astype(jnp.int32)) * 4 > pool_n
+                    jnp.sum(st.alive.astype(jnp.int32)) * div > pool_n
                 )
 
             s = jax.lax.while_loop(cond_l, body, s)
@@ -533,9 +556,12 @@ def make_render_iteration(
                     rays_traced=small.rays_traced,
                 )
 
-            return jax.lax.cond(
-                jnp.any(s.alive), shrink_phase, lambda st: st, s
-            )
+            # predicate is the FULL loop condition: if the while exited on
+            # the depth budget (closed scenes keep liveness high to the
+            # end), the shrink ladder would sort + slice + merge for a
+            # zero-trip small pool — pure waste; image-identical either
+            # way (finish_state un-permutes by lane)
+            return jax.lax.cond(cond(s), shrink_phase, lambda st: st, s)
 
         state = run_pool(state, n, sizes)
         return finish_state(state, flat), state.rays_traced, state.depth
@@ -595,7 +621,11 @@ def make_render_iteration(
                 )[..., None]
             env_scale = jnp.where(env_missed[..., None], state.color, 0.0)
             contrib = contrib + m.process_nan(env_scale * env * env_w)
-        if sort_rays:
+        # lanes are permuted by the per-bounce purity sort AND by shrink-
+        # boundary compactions; either one requires the lane-keyed
+        # un-permute.  (The staged path never shrinks — analytic scenes
+        # always run fused — so sort_rays alone still governs it.)
+        if sort_rays or shrink_sizes:
             out = jax.lax.sort(
                 (lane, contrib[:, 0], contrib[:, 1], contrib[:, 2]),
                 num_keys=1,

@@ -68,6 +68,14 @@ class RenderOptions:
     # the pool (640k -> 160k -> 40k -> ...).  2 covers straggler tails to
     # 1/16th; deeper levels only pay when liveness sits under ~1.5% for
     # several bounces (each level adds a compiled while body + sort)
+    shrink_half: bool = False     # insert a pool/2 level at the FRONT of
+    # the shrink ladder (fires once alive <= 50%).  Pays on resident mesh
+    # scenes whose liveness LINGERS in the 25-50% band for several tail
+    # bounces (glassbunny: 50/42/35% at depths 5-7) — they already sort
+    # per bounce, so the boundary costs nothing extra.  Analytic scenes
+    # must NOT set this: their boundary sort is a full multi-operand
+    # lax.sort they otherwise never pay (cornell's whole iteration costs
+    # less than one 640k sort).
     sort_every: int = 1           # re-sort the pool every k-th bounce only
     # (depth 0 always sorts).  Packet purity decays as rays scatter, so
     # k>1 trades kernel time for ~6 ms/bounce of sort cost; output is

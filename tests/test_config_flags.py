@@ -168,3 +168,27 @@ class TestShrinkLevels:
             imgs.append(r.ldr_image())
         np.testing.assert_array_equal(imgs[0], imgs[1])
         np.testing.assert_array_equal(imgs[1], imgs[2])
+
+    def test_analytic_open_scene_shrink_is_bit_identical(self):
+        """The shrink ladder is decoupled from the per-bounce purity sort:
+        OPEN analytic scenes (mis_test — sphere lights over floating
+        ramps; most lanes die to the void by depth 2) shrink even though
+        analytic scenes never sort.  The ladder is a pure reordering —
+        RNG keys on lane, contributions ride the ray — so output must be
+        BIT-identical with it on or off.  packet_rows=1 keeps the tile at
+        128 lanes so a 64x64 pool genuinely triggers both levels."""
+        from pathtracer_tpu.integrator.render import Renderer
+
+        imgs = []
+        for shrink in (False, True):
+            r = Renderer(
+                "/root/reference/scenes/mis_test.txt",
+                opts=RenderOptions(
+                    sample_mode=SampleMode.MIS, pool_shrink=shrink,
+                    packet_rows=1, packet_auto=False,
+                ),
+                resolution=(64, 64),
+            )
+            r.step(3)
+            imgs.append(r.ldr_image())
+        np.testing.assert_array_equal(imgs[0], imgs[1])

@@ -284,6 +284,7 @@ class TestSortedPoolEquivalence:
             "unsorted": replace(base, compaction=False),
             "sorted": replace(base, pool_shrink=False),
             "shrunk": base,
+            "half_shrunk": replace(base, shrink_half=True),
             "sparse_sort": replace(base, sort_every=2),
         }.items():
             r = Renderer(scene, opts=o, resolution=(64, 32), trace_depth=6)
@@ -296,6 +297,11 @@ class TestSortedPoolEquivalence:
 
     def test_shrunk_bit_identical(self, images):
         np.testing.assert_array_equal(images["unsorted"], images["shrunk"])
+
+    def test_half_shrunk_bit_identical(self, images):
+        # the pool/2 leading shrink level (shrink_half) is a pure
+        # reordering like the quarter ladder — must not change a bit
+        np.testing.assert_array_equal(images["unsorted"], images["half_shrunk"])
 
     def test_sparse_sort_bit_identical(self, images):
         # sort_every=2 skips every other re-sort: a pure scheduling change

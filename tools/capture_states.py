@@ -42,6 +42,9 @@ if res:
 flat, static = build_flat_scene(scene)
 W, H = scene.camera.resolution
 opts = RenderOptions(sample_mode=SampleMode.MIS, compaction=False)
+if jax.default_backend() == "cpu":
+    from dataclasses import replace
+    opts = replace(opts, pallas_traversal=False)
 builder = make_render_iteration(static, opts, W, H)
 p, v, u, r_, pl_ = derive_camera(scene.camera).as_arrays()
 cam = CameraArrays(*[jnp.asarray(x) for x in (p, v, u, r_, pl_)])
