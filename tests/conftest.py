@@ -31,6 +31,31 @@ REFERENCE = pathlib.Path("/root/reference")
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the heavy cross-check tests (oracle cross-RMSE, "
+        "8-device sharding end-to-end, furnace integrals)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy cross-check (skipped by default; enable with "
+        "--runslow — the full pyramid runs at round end)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def reference_scenes():
     scenes = REFERENCE / "scenes"

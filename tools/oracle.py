@@ -62,6 +62,14 @@ class OMaterial:
     metallic: float = 0.0
     roughness: float = 0.0
     ior: float = 1.5
+    # texture-or-constant fields (reference: src/scene.cpp:275-306 tries
+    # each material property as a texture path first; src/image.h:88-110
+    # devTexSampler falls back to the constant).  Each map is a float
+    # (H, W, 3) array or None.
+    albedo_map: np.ndarray | None = None
+    metallic_map: np.ndarray | None = None
+    roughness_map: np.ndarray | None = None
+    normal_map: np.ndarray | None = None
 
 
 @dataclass
@@ -81,6 +89,10 @@ class OScene:
     tri_v: np.ndarray          # (T, 3, 3)
     tri_n: np.ndarray          # (T, 3, 3)
     tri_geom: np.ndarray       # (T,)
+    tri_uv: np.ndarray         # (T, 3, 2) vertex texcoords
+    tri_tan: np.ndarray        # (T, 3) per-triangle world tangent
+    #                            (reference: src/scene.cpp:495-508)
+    env_map: np.ndarray | None # (H, W, 3) or None (reference: scene.cpp:76)
     lights: list               # [(geomID, triangleID, gtype)]
     cam_position: np.ndarray
     cam_view: np.ndarray
@@ -125,10 +137,119 @@ def _build_transform(trans, rot, scale) -> np.ndarray:
     return t @ rx @ ry @ rz @ sc
 
 
+def _atof(s: str) -> float:
+    """C atof: parse a leading float prefix, 0.0 when none (the
+    reference's texture-or-constant fallback, src/scene.cpp:275-306)."""
+    import re
+
+    m = re.match(r"\s*[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?", s)
+    return float(m.group(0)) if m else 0.0
+
+
+def _resolve_asset(tok: str, base: Path) -> str | None:
+    """Normalize Windows separators and probe the same roots the geom
+    loader does; None when the file doesn't exist."""
+    nrm = tok.replace("\\", "/")
+    cands = [Path(nrm), base / nrm, base.parent / nrm]
+    if nrm.startswith("../"):
+        cands.append(base.parent / nrm[3:])
+    name = Path(nrm).name
+    cands += [base / "model" / name, base / "texture" / name,
+              base / "env" / name]
+    return next((str(c) for c in cands if c.is_file()), None)
+
+
+def _read_rgbe(path: str) -> np.ndarray:
+    """Independent Radiance RGBE (.hdr) decoder → float (H, W, 3).
+    Written against the format spec (new-style RLE scanlines), sharing
+    no code with pathtracer_tpu.utils.image_io."""
+    raw = Path(path).read_bytes()
+    # header ends at the first blank line; next line is the size spec
+    pos = raw.find(b"\n\n")
+    if pos < 0:
+        raise ValueError("bad RGBE header")
+    nl = raw.find(b"\n", pos + 2)
+    size = raw[pos + 2: nl].split()
+    if size[0] != b"-Y" or size[2] != b"+X":
+        raise ValueError(f"unsupported RGBE orientation {size}")
+    H, W = int(size[1]), int(size[3])
+    data = np.frombuffer(raw[nl + 1:], np.uint8)
+    out = np.zeros((H, W, 4), np.uint8)
+    p = 0
+    for y in range(H):
+        # new-style RLE scanline: 0x02 0x02 hi lo then 4 RLE channels
+        if W >= 8 and W < 32768 and data[p] == 2 and data[p + 1] == 2 \
+                and (int(data[p + 2]) << 8 | int(data[p + 3])) == W:
+            p += 4
+            for c in range(4):
+                x = 0
+                while x < W:
+                    n = int(data[p]); p += 1
+                    if n > 128:  # run
+                        out[y, x: x + n - 128, c] = data[p]
+                        p += 1
+                        x += n - 128
+                    else:  # literal
+                        out[y, x: x + n, c] = data[p: p + n]
+                        p += n
+                        x += n
+        else:  # flat RGBE pixels
+            row = data[p: p + 4 * W].reshape(W, 4)
+            out[y] = row
+            p += 4 * W
+    e = out[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
+    return out[..., :3].astype(np.float64) * scale[..., None]
+
+
+def _load_texture_file(path: str, gamma: float = 1.0) -> np.ndarray:
+    """Float (H, W, 3) texture, flipped vertically like
+    stbi_set_flip_vertically_on_load(true) (reference: src/scene.cpp:56);
+    LDR promoted with the reference's default gamma 1.0
+    (reference: src/image.cpp:22-38, src/scene.h:60)."""
+    if path.lower().endswith(".hdr"):
+        img = _read_rgbe(path)
+    else:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("RGB"), np.float64) / 255.0
+        img = arr ** gamma if gamma != 1.0 else arr
+    return img[::-1].copy()
+
+
+def bilinear_sample(img: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """devTexObj::linearSample (reference: src/image.h:73-85): x scaled
+    by (w-1), upper neighbour clamped at the edge, fract weights."""
+    h, w = img.shape[:2]
+    x = uv[..., 0] * (w - 1)
+    y = uv[..., 1] * (h - 1)
+    lx = x.astype(np.int64)
+    ly = y.astype(np.int64)
+    ux = np.where(lx + 1 >= w, lx, lx + 1)
+    uy = np.where(ly + 1 >= h, ly, ly + 1)
+    fx = (x - np.floor(x))[..., None]
+    fy = (y - np.floor(y))[..., None]
+    p1 = img[ly, lx] * (1 - fx) + img[ly, ux] * fx
+    p2 = img[uy, lx] * (1 - fx) + img[uy, ux] * fx
+    return p1 * (1 - fy) + p2 * fy
+
+
+def sphere2plane(d: np.ndarray) -> np.ndarray:
+    """Equirect direction→uv (reference: src/utilities.h:209-214)."""
+    u = np.arctan2(d[..., 2], d[..., 0]) * INV_PI * 0.5 + 1.0
+    u = u - np.floor(u)
+    v = np.maximum(
+        np.arctan2(d[..., 1], np.hypot(d[..., 0], d[..., 2])) * INV_PI + 0.5,
+        0.0,
+    )
+    return np.stack([u, v], -1)
+
+
 def _load_obj_minimal(path: str):
     """v/vn/vt/f subset with fan triangulation + vertex-normal use
     (reference: src/scene.cpp:385-411 via tiny_obj_loader)."""
-    vs, vns = [], []
+    vs, vns, vts = [], [], []
     faces = []
     for line in Path(path).read_text(errors="replace").splitlines():
         tk = line.split()
@@ -138,32 +259,39 @@ def _load_obj_minimal(path: str):
             vs.append([float(x) for x in tk[1:4]])
         elif tk[0] == "vn":
             vns.append([float(x) for x in tk[1:4]])
+        elif tk[0] == "vt":
+            vts.append([float(x) for x in tk[1:3]])
         elif tk[0] == "f":
             corners = []
             for c in tk[1:]:
                 parts = c.split("/")
                 vi = int(parts[0])
+                ti = int(parts[1]) if len(parts) > 1 and parts[1] else 0
                 ni = int(parts[2]) if len(parts) > 2 and parts[2] else 0
-                corners.append((vi, ni))
+                corners.append((vi, ni, ti))
             for k in range(len(corners) - 2):
                 faces.append([corners[0], corners[k + 1], corners[k + 2]])
     vs = np.asarray(vs)
     vns = np.asarray(vns) if vns else np.zeros((0, 3))
+    vts = np.asarray(vts) if vts else np.zeros((0, 2))
     tv = np.zeros((len(faces), 3, 3))
     tn = np.zeros((len(faces), 3, 3))
+    tu = np.zeros((len(faces), 3, 2))
     for fi, face in enumerate(faces):
-        for ci, (vi, ni) in enumerate(face):
+        for ci, (vi, ni, ti) in enumerate(face):
             tv[fi, ci] = vs[vi - 1 if vi > 0 else len(vs) + vi]
         e1 = tv[fi, 1] - tv[fi, 0]
         e2 = tv[fi, 2] - tv[fi, 0]
         fn = np.cross(e1, e2)
         fn /= max(np.linalg.norm(fn), 1e-38)
-        for ci, (vi, ni) in enumerate(face):
+        for ci, (vi, ni, ti) in enumerate(face):
             if ni != 0 and len(vns):
                 tn[fi, ci] = vns[ni - 1 if ni > 0 else len(vns) + ni]
             else:
                 tn[fi, ci] = fn
-    return tv, tn
+            if ti != 0 and len(vts):
+                tu[fi, ci] = vts[ti - 1 if ti > 0 else len(vts) + ti]
+    return tv, tn, tu
 
 
 def load_scene(path: str | Path) -> OScene:
@@ -172,9 +300,24 @@ def load_scene(path: str | Path) -> OScene:
     mats: list[OMaterial] = []
     mat_names: dict[str, int] = {}
     geoms: list[OGeom] = []
-    tri_v, tri_n, tri_geom = [], [], []
+    tri_v, tri_n, tri_geom, tri_uv, tri_tan = [], [], [], [], []
+    env_map = None
+    tex_cache: dict[str, np.ndarray] = {}
     cam = {}
     i = 0
+
+    def _try_texture(tok: str) -> np.ndarray | None:
+        """reference: src/scene.cpp:318-337 loadTexture (None on failure,
+        pooled by filename like Resource::texturePool)."""
+        p = _resolve_asset(tok, base)
+        if p is None:
+            return None
+        if p not in tex_cache:
+            try:
+                tex_cache[p] = _load_texture_file(p)
+            except Exception:
+                return None
+        return tex_cache[p]
     type_map = {
         "Lambertian": LAMBERTIAN, "MetallicWorkflow": METALLIC_WORKFLOW,
         "Dielectric": DIELECTRIC, "Microfacet": MICROFACET, "Light": LIGHT,
@@ -201,19 +344,32 @@ def load_scene(path: str | Path) -> OScene:
                 if not ptk:
                     break
                 key = ptk[0]
+                # every property is texture-or-constant: tried as a
+                # texture path first, atof fallback on failure
+                # (reference: src/scene.cpp:275-306)
                 if key == "TYPE":
                     m.type = type_map[ptk[1]]
                 elif key == "ALBEDO":
-                    m.albedo = np.array([float(x) for x in ptk[1:4]])
+                    m.albedo_map = _try_texture(ptk[1])
+                    if m.albedo_map is None:
+                        vals = [_atof(x) for x in ptk[1:4]]
+                        vals += [0.0] * (3 - len(vals))
+                        m.albedo = np.array(vals)
                 elif key == "METALLIC":
-                    m.metallic = float(ptk[1])
+                    m.metallic_map = _try_texture(ptk[1])
+                    if m.metallic_map is None:
+                        m.metallic = _atof(ptk[1])
                 elif key == "ROUGHNESS":
-                    # load-time floor (reference: src/scene.cpp:295)
-                    m.roughness = max(float(ptk[1]), ROUGHNESS_MIN)
+                    m.roughness_map = _try_texture(ptk[1])
+                    if m.roughness_map is None:
+                        # load-time floor (reference: src/scene.cpp:295)
+                        m.roughness = max(_atof(ptk[1]), ROUGHNESS_MIN)
                 elif key == "IOR":
-                    m.ior = float(ptk[1])
+                    m.ior = _atof(ptk[1])
                 elif key == "NORMAL":
-                    pass  # constant (0.5,0.5,1) → identity (scene.cpp:304)
+                    # no map → constant (0.5,0.5,1) ⇒ identity
+                    # (reference: src/scene.cpp:300-306)
+                    m.normal_map = _try_texture(ptk[1])
                 else:
                     break
                 i += 1
@@ -270,16 +426,38 @@ def load_scene(path: str | Path) -> OScene:
 
                 warnings.warn(f"OBJ not found, skipping mesh: {tline}")
             elif gtype == OBJ:
-                tv, tn = _load_obj_minimal(objpath)
+                tv, tn, tu = _load_obj_minimal(objpath)
                 # world bake (reference: src/scene.cpp:489-493)
                 tvw = tv @ xf[:3, :3].T + xf[:3, 3]
                 tnw = tn @ g.invt[:3, :3].T
                 tnw /= np.maximum(
                     np.linalg.norm(tnw, axis=-1, keepdims=True), 1e-38
                 )
+                # per-triangle world tangent from UV deltas; zero when
+                # the UV area is degenerate (reference: src/scene.cpp:495-508)
+                e1 = tvw[:, 1] - tvw[:, 0]
+                e2 = tvw[:, 2] - tvw[:, 0]
+                d1 = tu[:, 1] - tu[:, 0]
+                d2 = tu[:, 2] - tu[:, 0]
+                f = d1[:, 0] * d2[:, 1] - d2[:, 0] * d1[:, 1]
+                fs = np.where(np.abs(f) < 1e-8, 1.0, f)[:, None]
+                tan = (d2[:, 1, None] * e1 - d1[:, 1, None] * e2) / fs
+                tan = np.where(
+                    np.abs(f)[:, None] < 1e-8, 0.0,
+                    tan / np.maximum(
+                        np.linalg.norm(tan, axis=-1, keepdims=True), 1e-38
+                    ),
+                )
                 tri_v.append(tvw)
                 tri_n.append(tnw)
+                tri_uv.append(tu)
+                tri_tan.append(tan)
                 tri_geom.append(np.full(len(tvw), gi, np.int64))
+            continue
+        if tk[0] == "ENV":
+            # reference: src/scene.cpp:74-79 (HDR env map via loadTexture)
+            env_map = _try_texture(tk[1])
+            i += 1
             continue
         if tk[0] == "CAMERA":
             i += 1
@@ -330,10 +508,14 @@ def load_scene(path: str | Path) -> OScene:
     if tri_v:
         tri_v = np.concatenate(tri_v)
         tri_n = np.concatenate(tri_n)
+        tri_uv = np.concatenate(tri_uv)
+        tri_tan = np.concatenate(tri_tan)
         tri_geom = np.concatenate(tri_geom)
     else:
         tri_v = np.zeros((0, 3, 3))
         tri_n = np.zeros((0, 3, 3))
+        tri_uv = np.zeros((0, 3, 2))
+        tri_tan = np.zeros((0, 3))
         tri_geom = np.zeros(0, np.int64)
 
     # lights: analytic first, then emissive triangles
@@ -347,8 +529,8 @@ def load_scene(path: str | Path) -> OScene:
             lights.append((int(tri_geom[ti]), ti, OBJ))
 
     sc = OScene(
-        mats, geoms, tri_v, tri_n, tri_geom, lights,
-        position, view, up, right, pixel_length, res,
+        mats, geoms, tri_v, tri_n, tri_geom, tri_uv, tri_tan, env_map,
+        lights, position, view, up, right, pixel_length, res,
         int(cam["DEPTH"][0]), int(cam["ITERATIONS"][0]), fovy,
     )
     _build_clusters(sc)
@@ -383,6 +565,8 @@ def _build_clusters(sc: OScene, size: int = 128):
     order = np.argsort(morton, kind="stable")
     sc.tri_v = sc.tri_v[order]
     sc.tri_n = sc.tri_n[order]
+    sc.tri_uv = sc.tri_uv[order]
+    sc.tri_tan = sc.tri_tan[order]
     sc.tri_geom = sc.tri_geom[order]
     # emissive-triangle light ids refer to triangle indices — remap
     inv = np.empty(T, np.int64)
@@ -658,6 +842,8 @@ def closest_hit(sc: OScene, O, D):
     tri_id = np.full(N, -1, np.int64)
     point = np.zeros((N, 3))
     normal = np.zeros((N, 3))
+    uv = np.zeros((N, 2))
+    tang = np.zeros((N, 3))
     for gi, g in enumerate(sc.geoms):
         if g.type == CUBE:
             t, p, n = box_intersect(g, O, D)
@@ -702,17 +888,45 @@ def closest_hit(sc: OScene, O, D):
         normal[gidx] = (
             w0 * sc.tri_n[jj, 0] + w1 * sc.tri_n[jj, 1] + w2 * sc.tri_n[jj, 2]
         )
+        # barycentric texcoords + the PER-TRIANGLE tangent (reference:
+        # src/pathtrace.cu:270-274 — T/B are not interpolated)
+        uv[gidx] = (
+            w0 * sc.tri_uv[jj, 0] + w1 * sc.tri_uv[jj, 1]
+            + w2 * sc.tri_uv[jj, 2]
+        )
+        tang[gidx] = sc.tri_tan[jj]
     found = hit_geom >= 0
-    # surfaceNormal = normalize(normal); no normal map in oracle scenes
-    # (tangent path inactive: constant sampler → localNorm=(0,0,1),
-    # reference: src/pathtrace.cu:323-343)
     normal = np.where(found[:, None], _norm(normal), normal)
+    # texCoords clamped at intersection fill (reference: src/pathtrace.cu:317)
+    uv = np.clip(uv, 0.0, 1.0)
+    # normal mapping via the per-triangle TBN, gated on tangent validity
+    # and a non-identity mapped normal (reference: src/pathtrace.cu:323-343;
+    # quirk kept: localNorm = normalize(mapped - 0.5), NOT mapped*2-1)
+    mat_of_geom = np.array([g.material for g in sc.geoms], np.int64)
+    for mid, mat in enumerate(sc.materials):
+        if mat.normal_map is None:
+            continue
+        sel = np.nonzero(found & (mat_of_geom[hit_geom] == mid))[0]
+        if len(sel) == 0:
+            continue
+        mapped = bilinear_sample(mat.normal_map, uv[sel])
+        local = _norm(mapped - 0.5)
+        T = tang[sel]
+        n = normal[sel]
+        cond = (_dot(T, T) > 1e-3) & (np.abs(local[:, 2] - 1.0) > 1e-5)
+        B = _norm(np.cross(n, T))
+        T2 = _norm(np.cross(B, n))
+        n2 = _norm(
+            T2 * local[:, 0:1] + B * local[:, 1:2] + n * local[:, 2:3]
+        )
+        normal[sel] = np.where(cond[:, None], n2, n)
     return {
         "t": np.where(found, t_min, -1.0),
         "geom": hit_geom,
         "tri": tri_id,
         "point": point,
         "normal": normal,
+        "uv": uv,
     }
 
 
@@ -831,7 +1045,29 @@ def metallic_pdf(n, wo, wi, rough, metal):
     return diff * (1 - w) + spec * w
 
 
-def scatter_sample(sc, mats, mat_id, n, d, rng):
+def _sampled_params(m: OMaterial, uvm: np.ndarray):
+    """Per-lane (albedo, roughness, metallic) with the sample-time clamps
+    (reference: src/material.h:274-275,325-327,486-489): each value comes
+    from the material's texture when mapped, else the constant."""
+    k = len(uvm)
+    if m.albedo_map is not None:
+        alb = bilinear_sample(m.albedo_map, uvm)
+    else:
+        alb = np.broadcast_to(m.albedo, (k, 3))
+    if m.roughness_map is not None:
+        rough = bilinear_sample(m.roughness_map, uvm)[:, 0]
+    else:
+        rough = np.full(k, m.roughness)
+    rough = np.clip(rough, ROUGHNESS_MIN, ROUGHNESS_MAX)
+    if m.metallic_map is not None:
+        metal = bilinear_sample(m.metallic_map, uvm)[:, 0]
+    else:
+        metal = np.full(k, m.metallic)
+    metal = np.clip(metal, 0.0, 1.0)
+    return alb, rough, metal
+
+
+def scatter_sample(sc, mats, mat_id, n, d, uv, rng):
     """Material::scatterSample (reference: src/material.h:450-481).
     d = incoming ray direction (the kernels pass ray.direction as 'wo').
     Returns (bsdf (N,3), pdf (N,), dir (N,3), delta (N,))."""
@@ -846,11 +1082,12 @@ def scatter_sample(sc, mats, mat_id, n, d, rng):
         m = sc.materials[mid]
         nn = n[sel]
         dd = d[sel]
+        alb, rough, metal = _sampled_params(m, uv[sel])
         if m.type == LAMBERTIAN:
             # reference: src/material.h:55-61
             r = rng.random((len(sel), 2))
             wi = sample_hemisphere_cosine(nn, r[:, 0], r[:, 1])
-            bsdf[sel] = m.albedo * INV_PI
+            bsdf[sel] = alb * INV_PI
             pdf[sel] = _dot(wi, nn) * INV_PI
             out[sel] = wi
         elif m.type == DIELECTRIC:
@@ -868,8 +1105,8 @@ def scatter_sample(sc, mats, mat_id, n, d, rng):
             )
             b = np.where(
                 refl[:, None],
-                np.broadcast_to(m.albedo, (len(sel), 3)),
-                m.albedo * ((ior2 * ior2) / (ior1 * ior1))[:, None],
+                alb,
+                alb * ((ior2 * ior2) / (ior1 * ior1))[:, None],
             )
             bsdf[sel] = b / np.abs(_dot(wi, nn))[:, None]
             pdf[sel] = 1.0
@@ -877,22 +1114,17 @@ def scatter_sample(sc, mats, mat_id, n, d, rng):
             delta[sel] = True
         elif m.type == MICROFACET:
             # reference: src/material.h:272-295 — VNDF gets RAW roughness
-            rough = np.full(len(sel), min(max(m.roughness, ROUGHNESS_MIN),
-                                          ROUGHNESS_MAX))
             r = rng.random((len(sel), 2))
             wm = sample_normal_ggx(nn, -dd, rough, r[:, 0], r[:, 1])
             wi = reflect(dd, wm)
             bad = _dot(wi, nn) * _dot(-dd, nn) < 0
-            b = microfacet_bsdf(nn, -dd, wi, m.albedo, rough)
+            b = microfacet_bsdf(nn, -dd, wi, alb, rough)
             p = microfacet_pdf(nn, -dd, wi, rough)
             bsdf[sel] = np.where(bad[:, None], 0.0, b)
             pdf[sel] = np.where(bad, 0.0, p)
             out[sel] = wi
         elif m.type == METALLIC_WORKFLOW:
             # reference: src/material.h:323-357 — VNDF gets roughness²
-            rough = np.full(len(sel), min(max(m.roughness, ROUGHNESS_MIN),
-                                          ROUGHNESS_MAX))
-            metal = np.full(len(sel), min(max(m.metallic, 0.0), 1.0))
             r1 = rng.random(len(sel))
             r = rng.random((len(sel), 2))
             spec_pick = r1 < 1.0 / (2.0 - metal)
@@ -901,55 +1133,49 @@ def scatter_sample(sc, mats, mat_id, n, d, rng):
             wi_diff = sample_hemisphere_cosine(nn, r[:, 0], r[:, 1])
             wi = np.where(spec_pick[:, None], wi_spec, wi_diff)
             bad = (_dot(-dd, nn) < 0) | (_dot(wi, nn) < 0)
-            b = metallic_bsdf(nn, -dd, wi, m.albedo, rough, metal)
+            b = metallic_bsdf(nn, -dd, wi, alb, rough, metal)
             p = metallic_pdf(nn, -dd, wi, rough, metal)
             bsdf[sel] = np.where(bad[:, None], 0.0, b)
             pdf[sel] = np.where(bad, 0.0, p)
             out[sel] = wi
         elif m.type == LIGHT:
-            # reference: src/material.h:470-473
+            # reference: src/material.h:470-473 (raw constant, no sampler)
             bsdf[sel] = m.albedo
             pdf[sel] = 1.0
     return bsdf, pdf, out, delta, mtype
 
 
-def bsdf_eval(sc, mat_id, n, d, wi):
+def bsdf_eval(sc, mat_id, n, d, uv, wi):
     """Material::BSDF (reference: src/material.h:483-501); d = ray dir."""
     out = np.zeros((len(n), 3))
     for mid in np.unique(mat_id):
         sel = np.nonzero(mat_id == mid)[0]
         m = sc.materials[mid]
-        rough = min(max(m.roughness, ROUGHNESS_MIN), ROUGHNESS_MAX)
+        alb, rough, metal = _sampled_params(m, uv[sel])
         if m.type == LAMBERTIAN:
-            out[sel] = m.albedo * INV_PI
+            out[sel] = alb * INV_PI
         elif m.type == MICROFACET:
-            out[sel] = microfacet_bsdf(
-                n[sel], -d[sel], wi[sel], m.albedo,
-                np.full(len(sel), rough))
+            out[sel] = microfacet_bsdf(n[sel], -d[sel], wi[sel], alb, rough)
         elif m.type == METALLIC_WORKFLOW:
             out[sel] = metallic_bsdf(
-                n[sel], -d[sel], wi[sel], m.albedo,
-                np.full(len(sel), rough), np.full(len(sel), m.metallic))
+                n[sel], -d[sel], wi[sel], alb, rough, metal)
         # dielectric/light → 0
     return out
 
 
-def pdf_eval(sc, mat_id, n, d, wi):
+def pdf_eval(sc, mat_id, n, d, uv, wi):
     """Material::pdf (reference: src/material.h:503-521)."""
     out = np.zeros(len(n))
     for mid in np.unique(mat_id):
         sel = np.nonzero(mat_id == mid)[0]
         m = sc.materials[mid]
-        rough = min(max(m.roughness, ROUGHNESS_MIN), ROUGHNESS_MAX)
+        _, rough, metal = _sampled_params(m, uv[sel])
         if m.type == LAMBERTIAN:
             out[sel] = _dot(wi[sel], n[sel]) * INV_PI
         elif m.type == MICROFACET:
-            out[sel] = microfacet_pdf(
-                n[sel], -d[sel], wi[sel], np.full(len(sel), rough))
+            out[sel] = microfacet_pdf(n[sel], -d[sel], wi[sel], rough)
         elif m.type == METALLIC_WORKFLOW:
-            out[sel] = metallic_pdf(
-                n[sel], -d[sel], wi[sel], np.full(len(sel), rough),
-                np.full(len(sel), m.metallic))
+            out[sel] = metallic_pdf(n[sel], -d[sel], wi[sel], rough, metal)
     return out
 
 
@@ -1108,9 +1334,13 @@ def render(sc: OScene, mode: str = "bsdf", spp: int = 16,
         while len(alive) and d <= trace_depth + 1:
             d += 1
             hit = closest_hit(sc, O[alive], D[alive])
-            # miss → dead (env radiance would be added here; the oracle
-            # scenes carry no ENV — reference: src/pathtrace.cu:303-311)
             found = hit["t"] > 0
+            # miss → dead, env radiance accumulated in every mode
+            # (reference: src/pathtrace.cu:303-311)
+            if sc.env_map is not None and (~found).any():
+                miss = alive[~found]
+                env = bilinear_sample(sc.env_map, sphere2plane(D[miss]))
+                np.add.at(img, pix[miss], process_nan(color[miss] * env))
             lanes = alive[found]
             if len(lanes) == 0:
                 break
@@ -1118,12 +1348,13 @@ def render(sc: OScene, mode: str = "bsdf", spp: int = 16,
             p = hit["point"][found]
             gid = hit["geom"][found]
             tid = hit["tri"][found]
+            uvh = hit["uv"][found]
             mat_id = np.array(
                 [sc.geoms[g].material for g in gid], np.int64)
             dirs = D[lanes]
             cols = color[lanes]
             bsdf, pdf, wi, delta, _ = scatter_sample(
-                sc, _mat_arrays(sc), mat_id, n, dirs, rng)
+                sc, _mat_arrays(sc), mat_id, n, dirs, uvh, rng)
             is_light = np.array(
                 [sc.materials[m].type == LIGHT for m in mat_id])
             live = np.ones(len(lanes), bool)
@@ -1132,7 +1363,7 @@ def render(sc: OScene, mode: str = "bsdf", spp: int = 16,
                 # reference: src/pathtrace.cu:348-403
                 lp, emit, lpdf = light_sample(sc, p, rng)
                 liwi = _norm(lp - p)
-                li_bsdf = bsdf_eval(sc, mat_id, n, dirs, liwi)
+                li_bsdf = bsdf_eval(sc, mat_id, n, dirs, uvh, liwi)
                 contrib = (
                     li_bsdf * emit
                     * np.maximum(_dot(liwi, n), 0.0)[:, None]
@@ -1169,9 +1400,11 @@ def render(sc: OScene, mode: str = "bsdf", spp: int = 16,
                         lp, emit, lpdf = light_sample(sc, p[nsel], rng)
                         liwi = _norm(lp - p[nsel])
                         bp = pdf_eval(
-                            sc, mat_id[nsel], n[nsel], dirs[nsel], liwi)
+                            sc, mat_id[nsel], n[nsel], dirs[nsel],
+                            uvh[nsel], liwi)
                         lb = bsdf_eval(
-                            sc, mat_id[nsel], n[nsel], dirs[nsel], liwi)
+                            sc, mat_id[nsel], n[nsel], dirs[nsel],
+                            uvh[nsel], liwi)
                         w = power_heuristic(lpdf, bp)
                         nee = (
                             w[:, None] * cols[nsel] * emit * lb

@@ -23,6 +23,9 @@ REF = Path("/root/reference/scenes")
 REPO = Path("/root/repo/scenes")
 
 JOBS = [
+    (REF / "cornell.txt", "mis"),
+    (REF / "cornell.txt", "bsdf"),
+    (REF / "cornell.txt", "direct"),
     (REF / "dielectric_test.txt", "bsdf"),
     (REF / "dielectric_test.txt", "mis"),
     (REF / "dielectric_test.txt", "direct"),
@@ -31,8 +34,18 @@ JOBS = [
     (REF / "mis_test.txt", "direct"),
     (REF / "microfacet_test.txt", "mis"),
     (REF / "microfacet_test.txt", "bsdf"),
+    # full material coverage (VERDICT r3 item 4): MetallicWorkflow
+    (REF / "metallic_test.txt", "mis"),
+    (REF / "metallic_test.txt", "bsdf"),
     (REPO / "glassbunny.txt", "mis"),
     (REPO / "glassbunny.txt", "bsdf"),
+    # texture / normal-map / env pipeline rows (VERDICT r3 item 4) —
+    # the oracle's own bilinear/TBN/env ports (tools/oracle.py) vs the
+    # framework's atlas/TBN/env path
+    (REPO / "texturecube.txt", "mis"),
+    (REPO / "normalmap_test.txt", "mis"),
+    (REPO / "envbunny.txt", "mis"),
+    (REF / "textureEnv_test.txt", "mis"),
 ]
 
 
