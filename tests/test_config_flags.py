@@ -140,6 +140,7 @@ class TestShowNormal:
         assert img.max() > 0.0
 
 
+@pytest.mark.slow
 class TestShrinkLevels:
     def test_deeper_shrink_is_bit_identical(self):
         """pool_shrink recursion depth must not change output.

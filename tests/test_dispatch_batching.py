@@ -11,6 +11,8 @@ RNG keys on (iteration, lane) and accumulation is associative-free
 from dataclasses import replace
 from pathlib import Path
 
+import pytest
+
 import numpy as np
 
 from pathtracer_tpu.integrator.render import Renderer
@@ -41,6 +43,7 @@ def test_batched_iterations_bit_identical(reference_scenes):
     assert r1.stats.iterations_done == r2.stats.iterations_done == 7
 
 
+@pytest.mark.slow
 def test_batched_mesh_pallas_interpret_bit_identical(tmp_path):
     """The fused mesh path (Pallas kernels, interpret mode on CPU) must be
     bit-identical batched vs unbatched too — this is the path TPU mesh

@@ -153,6 +153,7 @@ class TestEnvIntegration:
         img_out = np.asarray(r.img / r.iteration).reshape(32, 32, 3)
         np.testing.assert_allclose(img_out.mean(), 1.0, atol=0.04)
 
+    @pytest.mark.slow
     def test_env_importance_matches_bsdf_mode(self, tmp_path_factory):
         tmp = tmp_path_factory.mktemp("envx")
         rng = np.random.default_rng(9)

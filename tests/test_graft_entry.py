@@ -10,11 +10,14 @@ to pin the subprocess isolation.
 import pathlib
 import sys
 
+import pytest
+
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import __graft_entry__ as graft
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_hermetic():
     # 4 devices keeps the CPU compile short; the driver runs 8.
     graft.dryrun_multichip(4)

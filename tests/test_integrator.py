@@ -226,6 +226,7 @@ SCALE       2 2 2
 """
 
 
+@pytest.mark.slow
 class TestCrossModeConsistency:
     """BSDF sampling, NEE and MIS estimate the same integral; their converged
     images must agree (the reference validates this only by eye,

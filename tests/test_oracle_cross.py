@@ -17,6 +17,8 @@ import pytest
 
 from tools.oracle_compare import compare
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize(
     "scene,mode,thresh",

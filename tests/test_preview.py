@@ -84,6 +84,7 @@ class TestPreviewServer:
             time.sleep(0.5)
         assert png.startswith(b"\x89PNG")
 
+    @pytest.mark.slow
     def test_stats_progress(self, preview):
         state, base = preview
         deadline = time.time() + 60
@@ -98,6 +99,7 @@ class TestPreviewServer:
         assert stats["mode"] == "MIS"
         assert stats["resolution"] == "32x32"
 
+    @pytest.mark.slow
     def test_orbit_resets_accumulation(self, preview):
         state, base = preview
         resets0 = state.accum_resets
@@ -117,6 +119,7 @@ class TestPreviewServer:
         assert theta_ok, "orbit should change theta"
         assert state.accum_resets > resets0, "orbit should reset accumulation"
 
+    @pytest.mark.slow
     def test_zoom_and_pan(self, preview):
         state, base = preview
         pos0 = np.array(state.renderer.camera.position)
@@ -142,6 +145,7 @@ class TestPreviewServer:
         right /= np.linalg.norm(right)
         np.testing.assert_allclose(pos2, pos1 - 1.0 * right, atol=1e-5)
 
+    @pytest.mark.slow
     def test_live_traced_depth(self, preview):
         state, base = preview
         deadline = time.time() + 60
@@ -154,6 +158,7 @@ class TestPreviewServer:
             time.sleep(0.5)
         assert 1 <= depth <= state.renderer.static.trace_depth + 1
 
+    @pytest.mark.slow
     def test_mode_switch(self, preview):
         state, base = preview
         get(base, "/mode?m=0").read()

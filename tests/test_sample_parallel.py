@@ -18,6 +18,7 @@ from pathtracer_tpu.utils import rng
 from pathtracer_tpu.utils.config import RenderOptions, SampleMode
 
 
+@pytest.mark.slow
 def test_sample_parallel_equals_sequential(tmp_path, reference_scenes):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")

@@ -76,6 +76,7 @@ RENDER_SMOKE = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", RENDER_SMOKE)
 def test_scene_render_smoke(reference_scenes, name):
     path = reference_scenes / name

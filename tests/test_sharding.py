@@ -149,6 +149,7 @@ class TestPixelSharding:
         assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 class TestRendererDevices:
     """The user surface: `Renderer(devices=N)` / `cli render --devices N`."""
 
@@ -208,6 +209,7 @@ class TestRendererDevices:
             r1.load_checkpoint(ck)
 
 
+@pytest.mark.slow
 class TestShardedPallasComposition:
     def test_sharded_interpret_pallas_matches_xla(self, tmp_path):
         """Sharded render composed with the Pallas packet kernels

@@ -68,8 +68,12 @@ def main():
             continue
         t0 = time.time()
         print(f"running {scene.stem} {mode} ...", flush=True)
+        # mis_test DIRECT is heavy-tailed (near-delta sphere-light spikes,
+        # VERDICT r3 item 8): clamp both sides at the 99th percentile so
+        # the row measures physics, not which spikes landed
+        clamp = 99.0 if (scene.stem == "mis_test" and mode == "direct") else None
         try:
-            out = compare(str(scene), mode, res=res, spp=spp,
+            out = compare(str(scene), mode, res=res, spp=spp, clamp_pct=clamp,
                           log=lambda *a: print(" ", *a, flush=True))
         except Exception as e:  # keep the batch alive
             out = {"scene": scene.stem, "mode": mode, "error": repr(e)}

@@ -81,7 +81,15 @@ def _ldr(img):
 
 
 def compare(scene_path, mode="mis", res=64, spp=64, depth=None, dump=None,
-            floors=True, log=lambda *a: None):
+            floors=True, clamp_pct=None, log=lambda *a: None):
+    """clamp_pct (e.g. 99.0): clamp BOTH linear images to the given
+    percentile of the oracle render before all RMSEs.  Bounds the
+    variance of near-delta estimator spikes (tiny sphere lights sampled
+    at grazing geometry make the direct-light estimator heavy-tailed:
+    single-sample luminance can exceed the mean by 1e4, so the unclamped
+    RMSE at any practical spp measures which spikes landed, not physics).
+    The clamp is applied identically to both sides, so a systematic
+    divergence still shows."""
     scene_path = str(scene_path)
     t0 = time.time()
     ours = _ours_render(scene_path, mode, res, spp, depth, seed=0)
@@ -91,6 +99,11 @@ def compare(scene_path, mode="mis", res=64, spp=64, depth=None, dump=None,
     orc = _oracle_render(scene_path, mode, res, spp, depth, seed=0)
     t_orc = time.time() - t0
     log(f"oracle: {t_orc:.1f}s")
+    clamp_v = None
+    if clamp_pct is not None:
+        clamp_v = float(np.percentile(np.asarray(orc), clamp_pct))
+        ours = np.minimum(np.asarray(ours), clamp_v)
+        orc = np.minimum(np.asarray(orc), clamp_v)
 
     out = {
         "scene": Path(scene_path).stem,
@@ -102,11 +115,17 @@ def compare(scene_path, mode="mis", res=64, spp=64, depth=None, dump=None,
         "secs_ours": round(t_ours, 1),
         "secs_oracle": round(t_orc, 1),
     }
+    if clamp_v is not None:
+        out["clamp_pct"] = clamp_pct
+        out["clamp_value"] = round(clamp_v, 4)
     if floors:
         # each implementation against itself with a different seed at the
         # same spp — the MC noise floor the cross-RMSE is judged against
         ours2 = _ours_render(scene_path, mode, res, spp, depth, seed=1)
         orc2 = _oracle_render(scene_path, mode, res, spp, depth, seed=1)
+        if clamp_v is not None:
+            ours2 = np.minimum(np.asarray(ours2), clamp_v)
+            orc2 = np.minimum(np.asarray(orc2), clamp_v)
         out["floor_ours_lin"] = _rmse(ours, ours2)
         out["floor_oracle_lin"] = _rmse(orc, orc2)
         out["floor_ours_ldr"] = _rmse(_ldr(ours), _ldr(ours2))
@@ -131,6 +150,8 @@ def main():
     ap.add_argument("--depth", type=int, default=None)
     ap.add_argument("--dump", default=None, help="PNG path prefix")
     ap.add_argument("--no-floors", action="store_true")
+    ap.add_argument("--clamp", type=float, default=None,
+                    help="percentile clamp on both linear images")
     args = ap.parse_args()
 
     import jax
@@ -139,7 +160,7 @@ def main():
 
     out = compare(
         args.scene, args.mode, args.res, args.spp, args.depth,
-        dump=args.dump, floors=not args.no_floors,
+        dump=args.dump, floors=not args.no_floors, clamp_pct=args.clamp,
         log=lambda *a: print(*a, file=sys.stderr, flush=True),
     )
     print(json.dumps(out), flush=True)
