@@ -363,6 +363,7 @@ def closest_hit(
     if static.num_tris > 0 and not use_bvh:
         t_min, tri, u, v = _brute_closest(flat, o, d, t_min, tri, u, v)
     elif mode is not None:
+        from pathtracer_tpu.ops import traverse_pallas as _tp
         from pathtracer_tpu.ops.traverse_pallas import (
             closest_hit_stream_pallas,
             closest_hit_wbvh_pallas,
@@ -390,6 +391,7 @@ def closest_hit(
                 sub_tris=static.stream_sub_tris,
                 p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
                 interpret=interpret,
+                sort_blocks=_tp.STREAM_SORT_BLOCKS,
             )
         else:
             t_pk, tri_pk, u_pk, v_pk = closest_hit_wbvh_pallas(

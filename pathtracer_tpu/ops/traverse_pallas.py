@@ -533,6 +533,17 @@ def closest_hit_wbvh_pallas(
 # ---------------------------------------------------------------------------
 
 STREAM_BUFS = 2  # subtree ring depth (double buffering; 3 measured no better)
+# A/B switch for the r4 near->far sorted block schedule (tools/stream_ab.py).
+# MEASURED OUT as the default (one-window ABAB, real chip): bigbunny160k
+# 7.52/7.43 sorted vs 7.36/7.27 unsorted (+2%), bigbunny640k 3.25/3.26
+# sorted vs 3.55/3.55 unsorted (-8%).  Front-to-back ordering cannot pay
+# here because block pruning is per-PACKET (any-lane): a 2048-lane packet
+# almost always contains lanes whose best_t stays open (rays grazing the
+# root box but missing geometry), so the evolving cap rarely beats a
+# block's root AABB no matter how early near blocks run — and the sorted
+# order gives up the discovery-order DMA pipelining rhythm on big block
+# counts.  Read at trace time; flip BEFORE constructing a Renderer.
+STREAM_SORT_BLOCKS = False
 
 
 def _sub_walk_closest(
@@ -620,13 +631,27 @@ def _sub_walk_closest(
 
 
 def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
-                                S: int, Tmax: int, n_buf: int = STREAM_BUFS):
+                                S: int, Tmax: int, n_buf: int = STREAM_BUFS,
+                                sort_blocks: bool = True):
+    """Two-phase schedule (r4): (1) walk the ENTIRE SMEM-resident top tree
+    collecting every reachable subtree block with a per-block key = the
+    packet's minimum AABB entry distance; (2) insertion-sort the block
+    queue by that key (near→far, the canonical front-to-back order); (3)
+    stream blocks through the DMA ring in sorted order, re-testing each
+    block's root AABB against the CURRENT best_t at DMA-start and at walk
+    time (the r3 pruning).  Near-first walking tightens best_t as early as
+    possible, so far blocks get pruned before their ~300 KB DMA instead of
+    after — pure scheduling, the final closest hit is unchanged (a pruned
+    block provably cannot contain a closer hit for any lane in the
+    packet).  The top walk costs no DMA overlap: it is SMEM-resident and
+    ~100x cheaper than one block walk."""
     def kernel(
         octs, tri_base_ref,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
         topf_h, topl_h, topp_h, subf_h, subi_h, subp_h, subt_h,
         t_ref_o, tri_ref_o, u_ref_o, v_ref_o,
         tstack_ref, subq_ref, subb_ref, startq_ref, lstack_ref, leafq_ref,
+        subk_ref,
         topf_s, topl_s, topp_s,
         bwf_s, bwi_s, bwp_s, btri_v,
         sem_top, sem_ring,
@@ -714,13 +739,16 @@ def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
             hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
             return jnp.any(hit & (t_enter <= cap))
 
-        def lap(state):
-            tsp, scur, stail, shead, ds = state
-            best_t = t_ref[:]
+        # --- phase 1: full top walk, collect every reachable block ---
+        # (cap is the initial t0/analytic best — blocks the cap already
+        # beats are not queued; the rest are pruned again at DMA/walk
+        # time once near blocks have tightened best_t)
+        best_t0 = t_ref[:]
 
-            # --- top phase: pop up to p_nodes top nodes ---
+        def top_lap(state):
+            tsp, tail = state
             new_sp = jnp.maximum(tsp - p_nodes, 0)
-            new_tail = stail
+            new_tail = tail
             popped = [
                 (
                     jnp.clip(tstack_ref[jnp.maximum(tsp - 1 - j, 0)], 0, T1),
@@ -737,18 +765,59 @@ def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                     nf = [topf_s[bf + k] for k in range(6)]
                     link = topl_s[node * 8 + cslot]
                     hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
-                    active = hit & (t_enter <= best_t)
+                    active = hit & (t_enter <= best_t0)
                     any_c = jnp.any(active) & node_valid
                     is_sub = link < -1
                     tstack_ref[new_sp] = link
                     new_sp = new_sp + (any_c & (link >= 0)).astype(jnp.int32)
                     subq_ref[new_tail] = -(link + 2)
                     subb_ref[new_tail] = bf
+                    # near→far sort key: the packet's closest AABB entry
+                    subk_ref[new_tail] = jnp.min(
+                        jnp.where(active, t_enter, FLT_MAX)
+                    )
                     new_tail = new_tail + (any_c & is_sub).astype(jnp.int32)
+            return new_sp, new_tail
 
-            # --- DMA phase: keep up to n_buf UNPRUNED blocks in flight ---
-            # (discovery cursor scur scans the queue; beaten entries are
-            # skipped without consuming a ring slot)
+        alive_any = jnp.any(t0_ref.at[0][:] >= 0.0)
+        _, tail = jax.lax.while_loop(
+            lambda st: st[0] > 0,
+            top_lap,
+            (jnp.where(alive_any, jnp.int32(1), jnp.int32(0)), jnp.int32(0)),
+        )
+
+        # --- phase 2: stable insertion sort of queue[0:tail] by key ---
+        # (tail is O(total blocks / coherence), a few hundred max; scalar
+        # SMEM shifting is ~ns per element — negligible vs one block walk)
+        def sort_outer(i, _):
+            kq = subk_ref[i]
+            sq = subq_ref[i]
+            bq = subb_ref[i]
+
+            def shift(st):
+                j = st
+                subk_ref[j] = subk_ref[j - 1]
+                subq_ref[j] = subq_ref[j - 1]
+                subb_ref[j] = subb_ref[j - 1]
+                return j - 1
+
+            j = jax.lax.while_loop(
+                lambda j: (j > 0) & (subk_ref[jnp.maximum(j - 1, 0)] > kq),
+                shift, i,
+            )
+            subk_ref[j] = kq
+            subq_ref[j] = sq
+            subb_ref[j] = bq
+            return 0
+
+        if sort_blocks:  # static: the A/B knob compiles the sort out
+            jax.lax.fori_loop(1, jnp.maximum(tail, 1), sort_outer, 0)
+
+        # --- phase 3: stream the sorted blocks through the DMA ring,
+        # pruning against the EVOLVING best_t at DMA-start and walk time
+        def lap(state):
+            scur, shead, ds = state
+
             def dma_body(st):
                 c, d = st
                 live = block_live(subb_ref[c], t_ref[:])
@@ -761,11 +830,11 @@ def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                 return c + 1, d + live.astype(jnp.int32)
 
             scur, ds = jax.lax.while_loop(
-                lambda st: (st[0] < new_tail) & (st[1] - shead < n_buf),
+                lambda st: (st[0] < tail) & (st[1] - shead < n_buf),
                 dma_body, (scur, ds)
             )
 
-            # --- walk phase: drain ONE ready subtree ---
+            # drain ONE ready subtree
             @pl.when(shead < ds)
             def _():
                 slot = jax.lax.rem(shead, n_buf)
@@ -785,16 +854,12 @@ def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                     )
 
             new_head = shead + (shead < ds).astype(jnp.int32)
-            return new_sp, scur, new_tail, new_head, ds
+            return scur, new_head, ds
 
-        alive_any = jnp.any(t0_ref.at[0][:] >= 0.0)
         jax.lax.while_loop(
-            lambda st: (st[0] > 0) | (st[1] < st[2]) | (st[3] < st[4]),
+            lambda st: (st[0] < tail) | (st[1] < st[2]),
             lap,
-            (
-                jnp.where(alive_any, jnp.int32(1), jnp.int32(0)),
-                jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-            ),
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
         )
 
     return kernel
@@ -802,12 +867,13 @@ def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "leaf_k", "sub_nodes", "sub_tris", "interpret", "p_nodes", "q_leaves",
-    "rows"))
+    "rows", "sort_blocks"))
 def closest_hit_stream_pallas(
     topf, topl, topp, subf, subi, subp, subt, tri_base,
     o, d, t_init, leaf_k: int, sub_nodes: int, sub_tris: int,
     interpret: bool = False,
     p_nodes: int = P_NODES, q_leaves: int = Q_LEAVES, rows: int = TILE_ROWS,
+    sort_blocks: bool = True,
 ):
     """Streaming wide-BVH packet closest-hit for meshes beyond the
     SMEM/VMEM-resident budget.  Table formats: accel/bvh.py StreamBVH,
@@ -856,6 +922,7 @@ def closest_hit_stream_pallas(
             pltpu.SMEM((n_sub + 8 * P_NODES + 8,), jnp.int32),    # started->queue
             pltpu.SMEM((S + 8 * P_NODES + 8,), jnp.int32),        # local stack
             pltpu.SMEM((S * 8 + 8 * P_NODES + 8,), jnp.int32),    # local leafq
+            pltpu.SMEM((n_sub + 8 * P_NODES + 8,), jnp.float32),  # block sort keys
             pltpu.SMEM((T * 48,), jnp.float32),                   # top bounds
             pltpu.SMEM((T * 8,), jnp.int32),                      # top links
             pltpu.SMEM((T * 8,), jnp.int32),                      # top perms
@@ -869,7 +936,8 @@ def closest_hit_stream_pallas(
     )
     shape1 = jax.ShapeDtypeStruct((num_tiles, rows, TILE_LANES), jnp.float32)
     shapei = jax.ShapeDtypeStruct((num_tiles, rows, TILE_LANES), jnp.int32)
-    kernel = _make_stream_closest_kernel(leaf_k, p_nodes, q_leaves, S, Tmax)
+    kernel = _make_stream_closest_kernel(leaf_k, p_nodes, q_leaves, S, Tmax,
+                                         sort_blocks=sort_blocks)
 
     t, tri, u, v = pl.pallas_call(
         kernel,
