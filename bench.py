@@ -38,8 +38,12 @@ SCENES = [
     ("cornell_mis", "/root/reference/scenes/cornell.txt", "mis", 16, None),
     ("cornell", "/root/reference/scenes/cornell.txt", "bsdf", 32, None),
     ("glassbunny", str(_HERE / "scenes/glassbunny.txt"), "mis", 8, None),
-    ("envbunny", str(_HERE / "scenes/envbunny.txt"), "mis", 4, None),
-    ("texturecube", str(_HERE / "scenes/texturecube.txt"), "mis", 8, None),
+    # short-iteration scenes need a >=12-spp window or the measurement is
+    # dominated by dispatch pipeline fill (envbunny k-sweep r4: 22.1
+    # Mrays/s at a 16-spp window vs 18.2 at 4-spp; k=2/4/8 flat, so the
+    # fix is window length, not batching depth)
+    ("envbunny", str(_HERE / "scenes/envbunny.txt"), "mis", 12, None),
+    ("texturecube", str(_HERE / "scenes/texturecube.txt"), "mis", 16, None),
 ]
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
