@@ -35,7 +35,7 @@ _HERE = Path(__file__).resolve().parent
 # Headline first: even a 1-scene run records the metric of record.
 SCENES = [
     # (name, path, mode, spp, depth_override)
-    ("cornell_mis", "/root/reference/scenes/cornell.txt", "mis", 16, None),
+    ("cornell_mis", "/root/reference/scenes/cornell.txt", "mis", 32, None),
     ("cornell", "/root/reference/scenes/cornell.txt", "bsdf", 32, None),
     ("glassbunny", str(_HERE / "scenes/glassbunny.txt"), "mis", 8, None),
     # short-iteration scenes need a >=12-spp window or the measurement is
