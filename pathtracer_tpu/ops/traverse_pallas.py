@@ -632,7 +632,7 @@ def _sub_walk_closest(
 
 def _make_stream_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                                 S: int, Tmax: int, n_buf: int = STREAM_BUFS,
-                                sort_blocks: bool = True):
+                                sort_blocks: bool = STREAM_SORT_BLOCKS):
     """Two-phase schedule (r4): (1) walk the ENTIRE SMEM-resident top tree
     collecting every reachable subtree block with a per-block key = the
     packet's minimum AABB entry distance; (2) insertion-sort the block
@@ -873,7 +873,7 @@ def closest_hit_stream_pallas(
     o, d, t_init, leaf_k: int, sub_nodes: int, sub_tris: int,
     interpret: bool = False,
     p_nodes: int = P_NODES, q_leaves: int = Q_LEAVES, rows: int = TILE_ROWS,
-    sort_blocks: bool = True,
+    sort_blocks: bool = STREAM_SORT_BLOCKS,
 ):
     """Streaming wide-BVH packet closest-hit for meshes beyond the
     SMEM/VMEM-resident budget.  Table formats: accel/bvh.py StreamBVH,

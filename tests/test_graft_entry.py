@@ -23,6 +23,14 @@ def test_dryrun_multichip_hermetic():
     graft.dryrun_multichip(4)
 
 
+def test_dryrun_multichip_smoke():
+    """Default-tier guard for the driver-run invariant (ADVICE r4): the
+    hermetic subprocess machinery + pixel- and sample-space sharding on 2
+    devices, analytic scene only (the interpret-mode mesh pass is the slow
+    part and stays in the --runslow variant above)."""
+    graft.dryrun_multichip(2, fast=True)
+
+
 def test_entry_compiles():
     import jax
 

@@ -17,9 +17,19 @@ import pytest
 
 from tools.oracle_compare import compare
 
-pytestmark = pytest.mark.slow
+
+def test_cross_rmse_default_tier():
+    """ONE cheap cross-implementation row in the default (non-slow) test
+    set (VERDICT r4 item 7): a gross physics break — materials, lights,
+    camera, RNG keying — surfaces in the everyday `pytest -q` run instead
+    of at round end.  ~19 s on CPU; measured cross-RMSE 0.062 at this
+    spp (2.4x headroom)."""
+    out = compare("/root/reference/scenes/cornell.txt", "mis",
+                  res=32, spp=8, floors=False)
+    assert out["rmse_lin"] <= 0.15, out
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "scene,mode,thresh",
     [

@@ -149,6 +149,27 @@ class TestPixelSharding:
         assert np.isfinite(out).all()
 
 
+class TestRendererDevicesSmoke:
+    """Default-tier guard (ADVICE r4): the `Renderer(devices=N)` surface
+    must not regress silently between rounds — 2 devices, tiny frame, one
+    step, bitwise vs single-device.  The heavier 8-device/triangle/
+    checkpoint variants stay in the --runslow class below."""
+
+    def test_renderer_2dev_bitwise_matches_single(self, reference_scenes):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 virtual devices")
+        from pathtracer_tpu.integrator.render import Renderer
+
+        opts = RenderOptions(sample_mode=SampleMode.MIS)
+        r2 = Renderer(str(reference_scenes / "cornell.txt"), opts=opts,
+                      resolution=(32, 32), trace_depth=3, devices=2)
+        r1 = Renderer(str(reference_scenes / "cornell.txt"), opts=opts,
+                      resolution=(32, 32), trace_depth=3)
+        r2.step(1)
+        r1.step(1)
+        np.testing.assert_array_equal(r2.ldr_image(), r1.ldr_image())
+
+
 @pytest.mark.slow
 class TestRendererDevices:
     """The user surface: `Renderer(devices=N)` / `cli render --devices N`."""

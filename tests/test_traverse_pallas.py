@@ -178,7 +178,7 @@ class TestStreamTraversal:
         assert static.stream_subs > 1, "soup did not split into blocks"
         return flat, static
 
-    def _closest_stream(self, flat, static, o, d, t_init):
+    def _closest_stream(self, flat, static, o, d, t_init, sort_blocks=False):
         from pathtracer_tpu.ops.traverse_pallas import closest_hit_stream_pallas
 
         return closest_hit_stream_pallas(
@@ -189,6 +189,7 @@ class TestStreamTraversal:
             sub_nodes=static.stream_sub_nodes,
             sub_tris=static.stream_sub_tris,
             interpret=True,
+            sort_blocks=sort_blocks,
         )
 
     def test_partition_invariants(self, stream_soup):
@@ -202,23 +203,32 @@ class TestStreamTraversal:
         s = partition_stream(w, 8, 48)
         assert validate_stream_bvh(s, w, tris.shape[0]) == []
 
-    def test_closest_matches_xla(self, stream_soup):
+    # both block schedules are checked: sort_blocks=False is the shipped
+    # default (the r4 near->far sort measured out on bigbunny640k), True is
+    # the A/B variant kept behind STREAM_SORT_BLOCKS
+    @pytest.mark.parametrize("sort_blocks", [False, True])
+    def test_closest_matches_xla(self, stream_soup, sort_blocks):
         flat, static = stream_soup
         o, d = random_rays(2048, seed=31)
         ref = closest_hit(flat, static, o, d)
         t_init = jnp.full((2048,), FLT_MAX, jnp.float32)
-        t, tri, u, v = self._closest_stream(flat, static, o, d, t_init)
+        t, tri, u, v = self._closest_stream(
+            flat, static, o, d, t_init, sort_blocks=sort_blocks
+        )
         np.testing.assert_array_equal(np.asarray(tri), np.asarray(ref.tri))
         hits = np.asarray(ref.tri) >= 0
         np.testing.assert_allclose(
             np.asarray(t)[hits], np.asarray(ref.t)[hits], rtol=1e-5
         )
 
-    def test_dead_sentinel_is_inert(self, stream_soup):
+    @pytest.mark.parametrize("sort_blocks", [False, True])
+    def test_dead_sentinel_is_inert(self, stream_soup, sort_blocks):
         flat, static = stream_soup
         o, d = random_rays(512, seed=32)
         t_init = jnp.full((512,), DEAD_T, jnp.float32)
-        t, tri, u, v = self._closest_stream(flat, static, o, d, t_init)
+        t, tri, u, v = self._closest_stream(
+            flat, static, o, d, t_init, sort_blocks=sort_blocks
+        )
         assert (np.asarray(tri) == -1).all()
 
     def test_occlusion_matches_xla(self, stream_soup):

@@ -897,7 +897,15 @@ def closest_hit(sc: OScene, O, D):
         tang[gidx] = sc.tri_tan[jj]
     found = hit_geom >= 0
     normal = np.where(found[:, None], _norm(normal), normal)
-    # texCoords clamped at intersection fill (reference: src/pathtrace.cu:317)
+    # texCoords clamped at intersection fill (reference: src/pathtrace.cu:318).
+    # DELIBERATE DIVERGENCE (ADVICE r4): the reference taps normalSampler
+    # with the UNCLAMPED texCoords (src/pathtrace.cu:323) and only stores
+    # the clamped copy — but for UVs outside [0,1] that linearSample
+    # (src/image.h:73-85) computes texel indices outside the image and
+    # reads out of bounds (undefined behavior, not a semantic).  Both this
+    # oracle and pathtracer_tpu (ops/traverse.py:422, clamp-to-edge taps)
+    # clamp before every tap, so the two implementations agree with each
+    # other and differ from the reference only where the reference is UB.
     uv = np.clip(uv, 0.0, 1.0)
     # normal mapping via the per-triangle TBN, gated on tangent validity
     # and a non-identity mapped normal (reference: src/pathtrace.cu:323-343;
