@@ -138,6 +138,7 @@ class Renderer:
             self.opts = _dc_replace(self.opts, shrink_levels=3)
         self.devices = int(devices) if devices else 1
         self._k = 1  # iterations per dispatch (fused single-device only)
+        self._regen = 0  # samples/pixel per persistent-pool batch (0 = off)
         # spatial swizzle: lane l renders pixel pixel_order[l] so traversal
         # packets cover square 32x32 blocks instead of 800x1.3 row strips
         # (2.3x faster packet traversal); image is unswizzled at readout.
@@ -199,6 +200,23 @@ class Renderer:
             # (opaque custom calls) or no triangles at all, the fused
             # single-dispatch path works and avoids per-bounce host round trips.
             self.staged = self.static.num_tris > 0 and not self.opts.pallas_traversal
+            # cross-iteration ray regeneration (see RenderOptions.ray_regen):
+            # fused multi-bounce paths only — the persistent pool refills
+            # dead lanes with next-sample camera rays inside the while loop
+            rk = int(getattr(self.opts, "ray_regen", 0))
+            if (
+                rk > 1
+                and not self.staged
+                and self.opts.sample_mode != SampleMode.DIRECT_LI
+                and not self.opts.show_normal
+            ):
+                self._regen = rk
+                self._batch_fn = jax.jit(
+                    make_render_iteration(
+                        self.static, self.opts, self.width, self.height,
+                        pixel_xy=pixel_xy, regen_k=rk,
+                    )
+                )
             if self.staged:
                 self._start_fn = jax.jit(builder.start_state)
                 self._bounce_fn = jax.jit(builder.bounce_step)
@@ -337,6 +355,8 @@ class Renderer:
 
     # -- rendering ----------------------------------------------------------
     def step(self, num_iterations: int = 1) -> RenderStats:
+        if self._regen:
+            return self._step_regen(num_iterations)
         cam = self._cam_arrays()
         first = self.iteration == 0 and self.stats.compile_seconds == 0.0
         if first:
@@ -383,6 +403,53 @@ class Renderer:
         self._force(self.img)
         if depth is not None:
             # live traced depth (reference: src/pathtrace.cu:793-796)
+            self.traced_depth = int(depth)
+        dt = time.perf_counter() - t0
+        self.stats.iterations_done += max(booked, 0)
+        self.stats.rays_traced += int(rays_total)
+        self.stats.wall_seconds += dt
+        if booked > 0:
+            self.stats.per_iter_seconds.append(dt / booked)
+        return self.stats
+
+    def _step_regen(self, num_iterations: int) -> RenderStats:
+        """Progressive sampling through the persistent regeneration pool:
+        batches of up to `ray_regen` samples/pixel per dispatch.  The batch
+        size `nk` is a TRACED argument, so one compiled executable serves
+        every batch size (incl. the 1-sample warmup and any tail
+        remainder)."""
+        cam = self._cam_arrays()
+        first = self.iteration == 0 and self.stats.compile_seconds == 0.0
+        if first:
+            t0 = time.perf_counter()
+            img, rays, depth = self._batch_fn(
+                self.flat, cam, self.img, jnp.int32(self.iteration + 1),
+                self.key, jnp.int32(1),
+            )
+            self.traced_depth = int(depth)
+            self._force(img)
+            self.img = img
+            self.iteration += 1
+            self.stats.iterations_done += 1
+            # compile iteration's rays are NOT booked (see step())
+            num_iterations -= 1
+            self.stats.compile_seconds = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        rays_total = jnp.float32(0)
+        depth = None
+        booked = num_iterations
+        while num_iterations > 0:
+            nk = min(num_iterations, self._regen)
+            self.img, rays, depth = self._batch_fn(
+                self.flat, cam, self.img, jnp.int32(self.iteration + 1),
+                self.key, jnp.int32(nk),
+            )
+            rays_total = rays_total + rays.astype(jnp.float32)
+            self.iteration += nk
+            num_iterations -= nk
+        self._force(self.img)
+        if depth is not None:
             self.traced_depth = int(depth)
         dt = time.perf_counter() - t0
         self.stats.iterations_done += max(booked, 0)

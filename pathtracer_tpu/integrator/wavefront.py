@@ -101,6 +101,23 @@ def camera_rays(
 # Dead-lane sort sentinel (must exceed every live sort key: octant/cell
 # keys are < 2^12 and the packet-purity bit adds 2^12, so live < 2^13).
 _DEAD_KEY = 1 << 20
+
+SWIZZLE_BLOCK = 32  # must match integrator/render.swizzle_map's block
+
+
+def swizzle_xy_from_lane(l, width: int, block: int = SWIZZLE_BLOCK):
+    """Arithmetic inverse of integrator/render.swizzle_map for films that
+    tile exactly into block² squares: lane l's swizzle key IS l (the key
+    map is a bijection onto [0, n)), so the pixel is recovered by
+    unpacking the key — no (N,)-table gathers in the regeneration refill
+    (tests pin this against the argsort-built map)."""
+    b2 = block * block
+    bx = width // block
+    blk = l // b2
+    r = l % b2
+    x = (blk % bx) * block + r % block
+    y = (blk // bx) * block + r // block
+    return x.astype(jnp.float32), y.astype(jnp.float32)
 # env-miss flag, packed into the lane column's high bit: a lane that dies
 # by env miss needs only ONE bit of extra state, because its radiance
 # scale at death IS its (frozen) `color` — carrying a separate (N, 3)
@@ -110,7 +127,8 @@ _LANE_MASK = jnp.int32((1 << 30) - 1)
 
 
 class _BounceState(NamedTuple):
-    depth: jnp.ndarray
+    depth: jnp.ndarray  # SCALAR lap counter (== per-lane bounce depth in
+    # the classic one-sample pools; just the lap budget under regeneration)
     o: jnp.ndarray
     d: jnp.ndarray
     color: jnp.ndarray
@@ -123,6 +141,11 @@ class _BounceState(NamedTuple):
     # finish_state scales the radiance by the lane's frozen `color`)
     img: jnp.ndarray
     rays_traced: jnp.ndarray  # throughput metric (primary+bounce+shadow rays)
+    meta: jnp.ndarray | None = None  # regeneration only: per-lane packed
+    # (sample offset << 8 | bounce depth) — lanes run DIFFERENT samples at
+    # different depths inside one dispatch, so depth is no longer derivable
+    # from the scalar lap counter (None on the classic paths: one less sort
+    # operand there)
 
 
 def _apply_normal_map(hit, params):
@@ -146,6 +169,7 @@ def make_render_iteration(
     height: int,
     local_rows: int | None = None,
     pixel_xy=None,
+    regen_k: int = 1,
 ):
     """Build the jittable one-iteration render function.
 
@@ -158,9 +182,38 @@ def make_render_iteration(
     dev_image).  `width`/`height` are the FULL film resolution;
     `local_rows` (default: height) is how many contiguous rows this pool
     covers, starting at pixel `pixel0` — the device-mesh sharding hook.
+
+    `regen_k > 1` builds the CROSS-ITERATION RAY-REGENERATION variant
+    instead: f(flat, cam, img, it0, key, nk, pixel0=0) renders `nk`
+    (traced, <= regen_k) samples per pixel in ONE persistent pool.  When a
+    lane's path dies at a bounce it is immediately refilled with the
+    camera ray for that pixel's NEXT sample index, so every per-bounce
+    fixed cost — packet launches, the multi-operand sort, material/atlas
+    taps — amortizes over a near-full-live pool instead of the 4-25%
+    liveness tails of the one-sample pools.  This is the TPU-native
+    completion of the reference's stream compaction, which keeps the GPU
+    busy only on live paths every bounce (reference:
+    src/pathtrace.cu:614-631,727,789).  Physics is EXACT: the
+    (pixel, sample, bounce, stage) RNG streams are identical to the
+    sequential renderer's (utils/rng.pixel_uniforms packs per-lane
+    iteration/depth into the threefry counter), so the same sample set is
+    integrated — only float-accumulation order changes (regen sums a
+    pixel's samples on the lane before the one image add).
     """
     n = width * (local_rows if local_rows is not None else height)
     mode = opts.sample_mode
+    regen = int(regen_k) > 1
+    if regen and (mode == SampleMode.DIRECT_LI or bool(opts.show_normal)):
+        raise ValueError(
+            "ray regeneration applies to the multi-bounce BSDF/MIS "
+            "integrators (DIRECT_LI / show_normal pools die after one "
+            "bounce by construction)"
+        )
+    if regen and static.trace_depth > 255:
+        raise ValueError(
+            "ray regeneration packs per-lane bounce depth into 8 bits "
+            f"(trace depth {static.trace_depth} > 255)"
+        )
     trace_depth = static.trace_depth
     use_bvh = bool(opts.use_bvh)
     use_pallas = bool(opts.pallas_traversal) and static.num_tris > 0 and use_bvh
@@ -284,20 +337,77 @@ def make_render_iteration(
             state.contrib[:, 0], state.contrib[:, 1], state.contrib[:, 2],
             state.lane,
         )
+        if regen:  # per-lane (sample offset, bounce depth) rides the ray
+            cols = cols + (state.meta,)
         if mode == SampleMode.MIS:
             cols = cols + (state.prev_pdf,)
         out = jax.lax.sort((key,) + cols, num_keys=1, is_stable=True)
         st3 = lambda i: jnp.stack(out[i : i + 3], axis=1)
+        nxt_i = 14  # first optional operand slot after the 13 fixed + key
+        meta_out = state.meta
+        if regen:
+            meta_out = out[nxt_i]
+            nxt_i += 1
         return state._replace(
             o=st3(1), d=st3(4), color=st3(7), contrib=st3(10),
             lane=out[13],
-            prev_pdf=out[14] if mode == SampleMode.MIS else state.prev_pdf,
+            meta=meta_out,
+            prev_pdf=out[nxt_i] if mode == SampleMode.MIS else state.prev_pdf,
             alive=out[0] < _DEAD_KEY,
         )
 
+    # -- regeneration helpers ------------------------------------------------
+    # when the film tiles exactly into 32x32 blocks the swizzle key is a
+    # bijection and lane->pixel inverts ARITHMETICALLY (no 2.5 MB xs/ys
+    # gathers per regen lap); tests pin this against swizzle_map
+    swz_arith = (
+        pixel_xy is not None and width % SWIZZLE_BLOCK == 0
+        and height % SWIZZLE_BLOCK == 0 and local_rows is None
+    )
+
+    def _lane_xy(l, pixel0):
+        """Film (x, y) of original lane id `l` (post-sort lanes migrate, so
+        this is how a regenerated ray finds its pixel)."""
+        if xs_ys is None:
+            idx = pixel0 + l
+            return (
+                (idx % width).astype(jnp.float32),
+                (idx // width).astype(jnp.float32),
+            )
+        if swz_arith:
+            return swizzle_xy_from_lane(l, width)
+        return xs_ys[0][l], xs_ys[1][l]
+
+    def _regen_rays(cam: CameraArrays, lane_ids, it_lane, key, pixel0):
+        """Camera rays for refilled lanes — same mapping + AA jitter as
+        camera_rays (reference: src/pathtrace.cu:135-163), with PER-LANE
+        sample indices."""
+        x, y = _lane_xy(lane_ids, pixel0)
+        idx = pixel0 + lane_ids
+        r = rng.pixel_uniforms(key, it_lane, 0, rng.STAGE_CAMERA, idx, 2)
+        px = x + (r[:, 0] - 0.5) - width * 0.5
+        py = y + (r[:, 1] - 0.5) - height * 0.5
+        d = m.normalize(
+            cam.view[None, :]
+            - cam.right[None, :] * (cam.pixel_length[0] * px)[:, None]
+            - cam.up[None, :] * (cam.pixel_length[1] * py)[:, None]
+        )
+        o = jnp.broadcast_to(cam.position, (lane_ids.shape[0], 3))
+        return o, d
+
     def bounce_body(flat: FlatScene, key, iteration, pixel0, state: _BounceState,
-                    pool_n: int = n):
+                    pool_n: int = n, cam: CameraArrays = None, nk=None):
         depth = state.depth
+        # RNG keying: classic pools key every lane on the scalar
+        # (iteration, lap); the regeneration pool keys each lane on ITS
+        # OWN (sample index, bounce depth) from the packed meta column —
+        # bit-identical streams either way (rng.pixel_uniforms packs both
+        # into the threefry counter)
+        if regen:
+            rng_it = iteration + (state.meta >> 8)
+            rng_dp = state.meta & 0xFF
+        else:
+            rng_it, rng_dp = iteration, depth
         if sort_rays:
             # the sort costs ~6-7 ms/bounce at 640k lanes no matter how
             # few are alive; once <25% survive, the PREVIOUS order's
@@ -358,7 +468,7 @@ def make_render_iteration(
         is_light = params.type == LIGHT
         is_delta = params.type == DIELECTRIC
 
-        sc_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_SCATTER, pixel_idx, 3)
+        sc_rand = rng.pixel_uniforms(key, rng_it, rng_dp, rng.STAGE_SCATTER, pixel_idx, 3)
         srec = scatter_sample(params, nrm, state.d, sc_rand, present=static.material_types)
         pdf_ok = srec.pdf != 0.0
 
@@ -378,7 +488,7 @@ def make_render_iteration(
             nee_on = alive & ~is_light & ~is_delta
             rays_traced = rays_traced + jnp.sum(nee_on.astype(jnp.int32))
             if nee_live:  # provably-zero NEE compiled out otherwise
-                li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
+                li_rand = rng.pixel_uniforms(key, rng_it, rng_dp, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
                 # delta (dielectric) lanes: bsdf_eval ≡ 0, so their NEE term
                 # is zero — skip their shadow rays entirely (output-identical)
                 lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=nee_on, interpret=interp, shadow_sort=shadow_sort)
@@ -433,7 +543,7 @@ def make_render_iteration(
             # whether or not we statically resolved the term to zero
             rays_traced = rays_traced + jnp.sum((cont & ~is_delta).astype(jnp.int32))
         if mode == SampleMode.MIS and nee_live:
-            li_rand = rng.pixel_uniforms(key, iteration, depth, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
+            li_rand = rng.pixel_uniforms(key, rng_it, rng_dp, rng.STAGE_LIGHT, pixel_idx, 4 if env_nee else 3)
             # the NEE term is masked to cont & ~is_delta below; skipping the
             # other lanes' shadow rays in the kernel is output-identical
             lrec = light_sample(flat, static, hit.point, li_rand, use_pallas=use_pallas, include_env=env_nee, use_bvh=use_bvh, knobs=knobs, enabled=cont & ~is_delta, interpret=interp, shadow_sort=shadow_sort)
@@ -474,17 +584,72 @@ def make_render_iteration(
         # depth budget: every lane alive at depth k has continued exactly k
         # times, so the reference's per-ray `remainingBounces` counter is
         # derivable from the scalar loop depth — one less pool field (and
-        # one less sort operand)
-        alive = cont & (depth + 1 < trace_depth)
+        # one less sort operand).  Under regeneration lanes run different
+        # samples at different depths, so the budget reads the meta column.
+        alive = cont & ((rng_dp if regen else depth) + 1 < trace_depth)
+        meta = state.meta
+
+        if regen:
+            # --- cross-iteration ray regeneration -----------------------
+            # Refill lanes whose path just died with the camera ray for
+            # their pixel's NEXT sample index.  Runs at the END of the
+            # body so the invariant "dead lane == fully exhausted" holds
+            # at every loop boundary (the shrink ladder's alive-count
+            # conditions and the while cond rely on it).
+            meta = jnp.where(cont, meta + 1, meta)  # continuing: depth+1
+            it_ofs = meta >> 8
+            can_regen = ~alive & (it_ofs < nk - 1)
+            if static.env_map_id >= 0:
+                # a dying env-missed lane must cash its DEFERRED env
+                # radiance now — its d/color/prev_pdf are about to be
+                # overwritten.  Same math as finish_state (which still
+                # handles lanes that env-miss on their LAST sample).
+                flagged = (lane & _ENV_MISS_BIT) != 0
+                resolve = can_regen & flagged
+                env_uv = m.sphere_to_plane(d)
+                eoff, ew, eh, efmt = static.tex_rows[static.env_map_id]
+                env_rad = bilinear_sample_u32_meta(
+                    flat.atlas_u32, eoff, ew, eh, bool(efmt), env_uv
+                )
+                env_w = 1.0
+                if mode == SampleMode.MIS and env_nee:
+                    from pathtracer_tpu.ops.envmap import env_pdf as _env_pdf
+
+                    l_eff = jnp.float32(static.num_lights + 1)
+                    ep = _env_pdf(flat, static, d) / l_eff
+                    env_w = jnp.where(
+                        prev_pdf > 0.0, m.power_heuristic(prev_pdf, ep), 1.0
+                    )[..., None]
+                contrib = contrib + jnp.where(
+                    resolve[..., None],
+                    m.process_nan(color * env_rad * env_w), 0.0,
+                )
+                lane = jnp.where(resolve, lane & _LANE_MASK, lane)
+            l_ids = lane & _LANE_MASK
+            ro, rd = _regen_rays(
+                cam, l_ids, iteration + it_ofs + 1, key, pixel0
+            )
+            rm = can_regen[..., None]
+            o = jnp.where(rm, ro, o)
+            d = jnp.where(rm, rd, d)
+            color = jnp.where(rm, 1.0, color)
+            if mode == SampleMode.MIS:
+                prev_pdf = jnp.where(can_regen, -1.0, prev_pdf)
+            meta = jnp.where(can_regen, (it_ofs + 1) << 8, meta)
+            alive = alive | can_regen
 
         return _BounceState(
             depth + 1, o, d, color, contrib, prev_pdf,
-            alive, lane, img, rays_traced
+            alive, lane, img, rays_traced, meta
         )
 
-    def render_iteration(
-        flat: FlatScene, cam: CameraArrays, img, iteration, key, pixel0=0
-    ):
+    def _run_loop(flat, cam, img, iteration, key, pixel0, nk=None):
+        """Shared loop driver: initial pool + shrink-laddered while loops.
+
+        `nk=None` is the classic one-sample iteration (lap budget
+        trace_depth+1); a traced `nk` drives the regeneration pool for nk
+        samples/pixel (budget nk·(trace_depth+1): each of a lane's nk
+        samples runs at most trace_depth+1 laps, and laps interleave)."""
         o, d = camera_rays(
             cam, width, height, key, iteration, pixel0, local_n=n, pixel_xy=xs_ys
         )
@@ -499,10 +664,14 @@ def make_render_iteration(
             lane=jnp.arange(n, dtype=jnp.int32),
             img=img,
             rays_traced=jnp.int32(0),
+            meta=jnp.zeros((n,), jnp.int32) if regen else None,
+        )
+        lap_budget = (
+            trace_depth + 1 if not regen else nk * (trace_depth + 1)
         )
 
         def cond(s: _BounceState):
-            return jnp.any(s.alive) & (s.depth < trace_depth + 1)
+            return jnp.any(s.alive) & (s.depth < lap_budget)
 
         # straggler-phase pool shrink: packet kernels cost per-PACKET, so a
         # mostly-dead 640k pool still pays ~313 packet launches per bounce.
@@ -513,11 +682,15 @@ def make_render_iteration(
         # tails on env scenes sit at a few % liveness for most of the
         # depth budget).  Bit-identical: RNG keys on lane, contributions
         # ride the ray, and the merged state un-permutes in finish_state.
+        # Under regeneration a dead lane is a fully EXHAUSTED lane (regen
+        # happens at the end of the bounce body), so the same alive-count
+        # conditions compose: the ladder only fires in the final drain
+        # where no sample remains to refill with.
         sizes = shrink_sizes
 
         def run_pool(s: _BounceState, pool_n: int, next_sizes) -> _BounceState:
             body = partial(bounce_body, flat, key, iteration, pixel0,
-                           pool_n=pool_n)
+                           pool_n=pool_n, cam=cam, nk=nk)
             if not next_sizes:
                 return jax.lax.while_loop(cond, body, s)
             nxt, div = next_sizes[0]
@@ -533,17 +706,20 @@ def make_render_iteration(
 
             def shrink_phase(st: _BounceState) -> _BounceState:
                 st = _sort_state(flat, st)  # live lanes to the front
-                cut = lambda a: a[:nxt] if a.shape[0] == pool_n else a
+                cut = lambda a: (
+                    a[:nxt] if a is not None and a.shape[0] == pool_n else a
+                )
                 small = st._replace(
                     o=cut(st.o), d=cut(st.d), color=cut(st.color),
                     contrib=cut(st.contrib),
                     prev_pdf=cut(st.prev_pdf),
                     alive=cut(st.alive), lane=cut(st.lane),
+                    meta=cut(st.meta),
                 )
                 small = run_pool(small, nxt, next_sizes[1:])
                 cat = lambda sm, fu: (
                     jnp.concatenate([sm, fu[nxt:]], axis=0)
-                    if fu.shape[0] == pool_n else sm
+                    if fu is not None and fu.shape[0] == pool_n else sm
                 )
                 return st._replace(
                     depth=small.depth,
@@ -553,6 +729,7 @@ def make_render_iteration(
                     prev_pdf=cat(small.prev_pdf, st.prev_pdf),
                     alive=cat(small.alive, st.alive),
                     lane=cat(small.lane, st.lane),
+                    meta=cat(small.meta, st.meta),
                     rays_traced=small.rays_traced,
                 )
 
@@ -565,6 +742,19 @@ def make_render_iteration(
 
         state = run_pool(state, n, sizes)
         return finish_state(state, flat), state.rays_traced, state.depth
+
+    def render_iteration(
+        flat: FlatScene, cam: CameraArrays, img, iteration, key, pixel0=0
+    ):
+        return _run_loop(flat, cam, img, iteration, key, pixel0)
+
+    def render_batch(
+        flat: FlatScene, cam: CameraArrays, img, it0, key, nk, pixel0=0
+    ):
+        """Regeneration entry: render samples it0 .. it0+nk-1 of every
+        pixel in one persistent pool (nk is TRACED — one executable
+        serves any batch size up to the compile-time regen_k)."""
+        return _run_loop(flat, cam, img, it0, key, pixel0, nk=jnp.int32(nk))
 
     def start_state(flat: FlatScene, cam: CameraArrays, img, iteration, key, pixel0=0):
         """Staged-mode entry: build the initial wavefront (raygen only)."""
@@ -647,6 +837,9 @@ def make_render_iteration(
         state = bounce_body(flat, key, iteration, pixel0, state)
         return state, jnp.sum(state.alive.astype(jnp.int32))
 
+    if regen:
+        render_batch.trace_depth = trace_depth
+        return render_batch
     render_iteration.start_state = start_state
     render_iteration.bounce_step = bounce_step
     render_iteration.finish_state = finish_state

@@ -100,6 +100,16 @@ class RenderOptions:
     # lockstep walk (also the automatic fallback on CPU)
     swizzle: bool = True          # order the ray pool in 32x32 pixel blocks
     # so traversal packets are spatially coherent (single-device path)
+    ray_regen: int = 0            # cross-iteration ray regeneration: > 1
+    # renders k samples/pixel in ONE persistent pool — a lane whose path
+    # dies is refilled in place with the camera ray for its pixel's next
+    # sample index, so per-bounce fixed costs (packet launches, the
+    # multi-operand sort, material/atlas/env taps) amortize over a
+    # near-full-live pool instead of the 4-25% liveness tails.  Physics
+    # exact (same (pixel, sample, bounce, stage) RNG streams; only
+    # float-add order changes).  0 = auto (scene-class policy in
+    # integrator/render.py), 1 = off.  Applies to the fused BSDF/MIS
+    # single-device path; DIRECT_LI / staged / sharded ignore it.
     iters_per_dispatch: int = 0   # batch k iterations into one jit call
     # (k sequential bounce loops — NOT nested, so it avoids the rule-5
     # compile pathology).  The remote backend costs ~10-30 ms of dispatch

@@ -71,11 +71,27 @@ def pixel_uniforms(
     single-chip and multi-chip renders agree (the TPU analogue of the
     reference's per-pixel hash seeding,
     reference: src/pathtrace.cu:25-29,148).
+
+    `iteration` and `depth` may be scalars OR per-lane arrays (shape of
+    `pixel_idx`): the persistent-wavefront regeneration path runs lanes
+    at different sample indices and bounce depths within one dispatch.
+    The stream identity is the packed counter word — threefry is a PRF
+    over (key, counter), so distinct (iteration, depth, stage, block)
+    packings give independent streams, and a lane draws bit-identical
+    values whether its (iteration, depth) arrived as a scalar or as an
+    array element.  Bit budget: block 0-1, stage 2-3, depth 4-11
+    (trace depth <= 255), iteration 12-31 (<= ~1M samples/pixel —
+    beyond that the word wraps and streams recycle).
     """
-    k = stream(key, iteration, depth, stage)
-    kd = jax.random.key_data(k).astype(jnp.uint32).reshape(-1)
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
     k0 = jnp.broadcast_to(kd[0], pixel_idx.shape)
     k1 = jnp.broadcast_to(kd[-1], pixel_idx.shape)
+    base = (
+        (jnp.asarray(iteration).astype(jnp.uint32) << jnp.uint32(12))
+        | (jnp.asarray(depth).astype(jnp.uint32) << jnp.uint32(4))
+        | jnp.uint32(int(stage) << 2)
+    )
+    base = jnp.broadcast_to(base, pixel_idx.shape)
     cols = []
     pix = pixel_idx.astype(jnp.uint32)
 
@@ -88,7 +104,7 @@ def pixel_uniforms(
     # pairing halves the call count for the same keying/determinism)
     c = 0
     while len(cols) < ncols:
-        x0, x1 = _threefry2x32(k0, k1, pix, jnp.full_like(pix, jnp.uint32(c)))
+        x0, x1 = _threefry2x32(k0, k1, pix, base | jnp.uint32(c))
         cols.append(u01(x0))
         if len(cols) < ncols:
             cols.append(u01(x1))

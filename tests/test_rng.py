@@ -56,3 +56,22 @@ class TestPixelUniforms:
 
     def test_deterministic(self):
         np.testing.assert_array_equal(draw(), draw())
+
+    def test_per_lane_iteration_depth(self):
+        # the regeneration path passes PER-LANE (iteration, depth) arrays;
+        # each lane must draw bit-identically to the scalar-keyed call for
+        # its own (iteration, depth)
+        k = rng.base_key(3)
+        pix = jnp.arange(64, dtype=jnp.int32)
+        its = jnp.asarray(np.arange(64) % 5 + 1, jnp.int32)
+        dps = jnp.asarray(np.arange(64) % 3, jnp.int32)
+        mixed = np.asarray(rng.pixel_uniforms(k, its, dps, 1, pix, 3))
+        for it in range(1, 6):
+            for dp in range(3):
+                sel = (np.arange(64) % 5 + 1 == it) & (np.arange(64) % 3 == dp)
+                scalar = np.asarray(
+                    rng.pixel_uniforms(
+                        k, jnp.int32(it), jnp.int32(dp), 1, pix, 3
+                    )
+                )
+                np.testing.assert_array_equal(mixed[sel], scalar[sel])
