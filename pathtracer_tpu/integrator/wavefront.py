@@ -398,16 +398,6 @@ def make_render_iteration(
     def bounce_body(flat: FlatScene, key, iteration, pixel0, state: _BounceState,
                     pool_n: int = n, cam: CameraArrays = None, nk=None):
         depth = state.depth
-        # RNG keying: classic pools key every lane on the scalar
-        # (iteration, lap); the regeneration pool keys each lane on ITS
-        # OWN (sample index, bounce depth) from the packed meta column —
-        # bit-identical streams either way (rng.pixel_uniforms packs both
-        # into the threefry counter)
-        if regen:
-            rng_it = iteration + (state.meta >> 8)
-            rng_dp = state.meta & 0xFF
-        else:
-            rng_it, rng_dp = iteration, depth
         if sort_rays:
             # the sort costs ~6-7 ms/bounce at 640k lanes no matter how
             # few are alive; once <25% survive, the PREVIOUS order's
@@ -425,6 +415,20 @@ def make_render_iteration(
                 worth_it, lambda s: _sort_state(flat, s), lambda s: s, state
             )
         alive = state.alive
+        # RNG keying: classic pools key every lane on the scalar
+        # (iteration, lap); the regeneration pool keys each lane on ITS
+        # OWN (sample index, bounce depth) from the packed meta column —
+        # bit-identical streams either way (rng.pixel_uniforms packs both
+        # into the threefry counter).  MUST be read AFTER the sort above:
+        # the r5 first cut read meta pre-sort and paired stale
+        # (sample, depth) keys with post-sort lanes — caught by the
+        # lane-history trace in tools/, now pinned by
+        # tests/test_regen.py's lit-mesh cross checks.
+        if regen:
+            rng_it = iteration + (state.meta >> 8)
+            rng_dp = state.meta & 0xFF
+        else:
+            rng_it, rng_dp = iteration, depth
         pixel_idx = pixel0 + (state.lane & _LANE_MASK)
         contrib = state.contrib
         hit = closest_hit(
@@ -839,6 +843,7 @@ def make_render_iteration(
 
     if regen:
         render_batch.trace_depth = trace_depth
+        render_batch._body = bounce_body  # lap-level debug/profiling hook
         return render_batch
     render_iteration.start_state = start_state
     render_iteration.bounce_step = bounce_step

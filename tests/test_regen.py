@@ -106,6 +106,7 @@ class TestRegenRenderer:
             ra.step(7)
             rb.step(7)
             _close(ra.img, rb.img)
+            assert ra.stats.rays_traced == rb.stats.rays_traced
 
     def test_direct_li_ignores_regen(self):
         opts = RenderOptions(sample_mode=SampleMode.DIRECT_LI, ray_regen=4)
@@ -125,16 +126,81 @@ class TestRegenRenderer:
         assert ra.stats.rays_traced == rb.stats.rays_traced
 
 
+def lit_soup_scene(tmp_path, n=600, seed=11):
+    """tri_soup_scene's OBJ in a LIT scene (sphere light + floor): the
+    bare soup has no emitter, so its renders are identically zero and any
+    image comparison on it is vacuous — the r5 pre-sort-meta RNG bug
+    passed the zero-image check and only showed in ray counts."""
+    import textwrap
+
+    soup = tri_soup_scene(tmp_path, n=n, seed=seed)
+    obj = tmp_path / "soup.obj"
+    scene = tmp_path / "lit_soup.txt"
+    scene.write_text(
+        textwrap.dedent(
+            f"""
+            MATERIAL light
+            TYPE\tLight
+            ALBEDO      6 6 6
+            METALLIC    0
+            ROUGHNESS   0
+            IOR         0
+
+            MATERIAL grey
+            TYPE\tLambertian
+            ALBEDO      .75 .75 .75
+            METALLIC    0
+            ROUGHNESS   0
+            IOR         0
+
+            CAMERA
+            RES         64 64
+            FOVY        45
+            ITERATIONS  1
+            DEPTH       4
+            FILE        lit_soup
+            EYE         0 0 10
+            LOOKAT      0 0 0
+            UP          0 1 0
+
+            OBJECT soup
+            {obj}
+            material grey
+            TRANS       0 0 0
+            ROTAT       0 0 0
+            SCALE       1 1 1
+
+            OBJECT lamp
+            sphere
+            material light
+            TRANS       0 5 2
+            ROTAT       0 0 0
+            SCALE       2 2 2
+
+            OBJECT floor
+            cube
+            material grey
+            TRANS       0 -4 0
+            ROTAT       0 0 0
+            SCALE       20 .1 20
+            """
+        )
+    )
+    return scene
+
+
 class TestRegenMeshSortedPool:
     """Triangle path with the per-bounce purity sort + shrink ladder: the
-    meta column must ride every sort and every shrink cut/merge.  Driven
+    meta column must ride every sort and every shrink cut/merge, and the
+    per-lane RNG keys must be read from the POST-sort pool.  Driven
     through the builder directly (fused XLA walk nests fine on CPU; the
-    Renderer would go staged here)."""
+    Renderer would go staged here).  The scene is LIT (sphere light →
+    nonzero radiance + NEE shadow rays), so these checks are not vacuous."""
 
     @pytest.fixture(scope="class")
     def mesh_setup(self, tmp_path_factory):
         tmp = tmp_path_factory.mktemp("regen_mesh")
-        scene = load_scene(tri_soup_scene(tmp, n=600, seed=11))
+        scene = load_scene(lit_soup_scene(tmp, n=600, seed=11))
         scene.camera.resolution = (64, 64)
         scene.trace_depth = 4
         opts = RenderOptions(
@@ -160,14 +226,19 @@ class TestRegenMeshSortedPool:
 
         seq = jax.jit(make_render_iteration(static, opts, 64, 64, pixel_xy=pixel_xy))
         img_seq = img0
+        rays_seq = 0
         for it in range(1, 4):
-            img_seq, rays_seq, _ = seq(flat, cam, img_seq, jnp.int32(it), key)
+            img_seq, rr, _ = seq(flat, cam, img_seq, jnp.int32(it), key)
+            rays_seq += int(rr)
 
         batch = jax.jit(make_render_iteration(
             static, opts, 64, 64, pixel_xy=pixel_xy, regen_k=3
         ))
         img_b, rays_b, laps = batch(flat, cam, img0, jnp.int32(1), key, jnp.int32(3))
+        assert float(jnp.sum(img_seq)) > 1.0  # the scene is actually lit
         _close(img_b, img_seq)
+        # identical (pixel, sample) path set => identical ray issuance
+        assert int(rays_b) == rays_seq
         assert int(laps) <= 3 * (static.trace_depth + 1)
 
     def test_nk1_bitwise(self, mesh_setup):
@@ -179,6 +250,7 @@ class TestRegenMeshSortedPool:
         batch = jax.jit(make_render_iteration(
             static, opts, 64, 64, pixel_xy=pixel_xy, regen_k=3
         ))
-        a, _, _ = seq(flat, cam, img0, jnp.int32(2), key)
-        b, _, _ = batch(flat, cam, img0, jnp.int32(2), key, jnp.int32(1))
+        a, ra, _ = seq(flat, cam, img0, jnp.int32(2), key)
+        b, rb, _ = batch(flat, cam, img0, jnp.int32(2), key, jnp.int32(1))
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(ra) == int(rb)
