@@ -35,8 +35,13 @@ from pathlib import Path
 import numpy as np
 
 
-def _ours_render(scene_path, mode, res, spp, depth, seed):
-    """Linear (H, W, 3) mean radiance from pathtracer_tpu on CPU."""
+def _ours_render(scene_path, mode, res, spp, depth, seed, env_is=False):
+    """Linear (H, W, 3) mean radiance from pathtracer_tpu on CPU.
+
+    `env_is=True` turns on env-map importance sampling (the feature the
+    reference left TODO) on OUR side only: both estimators are unbiased
+    for the same integral, so the cross-RMSE against the IS-less oracle
+    still converges to the quadrature of the two noise floors."""
     from pathtracer_tpu.integrator.render import Renderer
     from pathtracer_tpu.utils.config import RenderOptions, SampleMode
 
@@ -44,7 +49,7 @@ def _ours_render(scene_path, mode, res, spp, depth, seed):
              "mis": SampleMode.MIS}
     r = Renderer(
         str(scene_path),
-        opts=RenderOptions(sample_mode=modes[mode]),
+        opts=RenderOptions(sample_mode=modes[mode], env_importance=env_is),
         resolution=(res, res),
         trace_depth=depth,
     )
@@ -81,7 +86,7 @@ def _ldr(img):
 
 
 def compare(scene_path, mode="mis", res=64, spp=64, depth=None, dump=None,
-            floors=True, clamp_pct=None, log=lambda *a: None):
+            floors=True, clamp_pct=None, env_is=False, log=lambda *a: None):
     """clamp_pct (e.g. 99.0): clamp BOTH linear images to the given
     percentile of the oracle render before all RMSEs.  Bounds the
     variance of near-delta estimator spikes (tiny sphere lights sampled
@@ -92,7 +97,7 @@ def compare(scene_path, mode="mis", res=64, spp=64, depth=None, dump=None,
     divergence still shows."""
     scene_path = str(scene_path)
     t0 = time.time()
-    ours = _ours_render(scene_path, mode, res, spp, depth, seed=0)
+    ours = _ours_render(scene_path, mode, res, spp, depth, seed=0, env_is=env_is)
     t_ours = time.time() - t0
     log(f"ours: {t_ours:.1f}s")
     t0 = time.time()
@@ -111,6 +116,7 @@ def compare(scene_path, mode="mis", res=64, spp=64, depth=None, dump=None,
         "res": res,
         "spp": spp,
         "rmse_lin": _rmse(ours, orc),
+        **({"env_is": True} if env_is else {}),
         "rmse_ldr": _rmse(_ldr(ours), _ldr(orc)),
         "secs_ours": round(t_ours, 1),
         "secs_oracle": round(t_orc, 1),
@@ -121,7 +127,8 @@ def compare(scene_path, mode="mis", res=64, spp=64, depth=None, dump=None,
     if floors:
         # each implementation against itself with a different seed at the
         # same spp — the MC noise floor the cross-RMSE is judged against
-        ours2 = _ours_render(scene_path, mode, res, spp, depth, seed=1)
+        ours2 = _ours_render(scene_path, mode, res, spp, depth, seed=1,
+                             env_is=env_is)
         orc2 = _oracle_render(scene_path, mode, res, spp, depth, seed=1)
         if clamp_v is not None:
             ours2 = np.minimum(np.asarray(ours2), clamp_v)
@@ -152,6 +159,8 @@ def main():
     ap.add_argument("--no-floors", action="store_true")
     ap.add_argument("--clamp", type=float, default=None,
                     help="percentile clamp on both linear images")
+    ap.add_argument("--env-is", action="store_true",
+                    help="env importance sampling ON for ours only")
     args = ap.parse_args()
 
     import jax
@@ -161,6 +170,7 @@ def main():
     out = compare(
         args.scene, args.mode, args.res, args.spp, args.depth,
         dump=args.dump, floors=not args.no_floors, clamp_pct=args.clamp,
+        env_is=args.env_is,
         log=lambda *a: print(*a, file=sys.stderr, flush=True),
     )
     print(json.dumps(out), flush=True)
