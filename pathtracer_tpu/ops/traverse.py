@@ -381,7 +381,23 @@ def closest_hit(
         )
         reachable = rb_hit & (rb_enter <= t_init)
         t_init = jnp.where(reachable, t_init, DEAD_T)
-        if mode == "stream":
+        if mode == "stream" and _tp.STREAM_BLOCKMAJOR:
+            # block-major schedule: each subtree block DMA'd once per
+            # VMEM-resident ray chunk instead of once per packet
+            # (tools/stream_union_sim.py: bounce-ray packets reach ~all
+            # blocks whatever the sort, so packet-major re-streams the
+            # whole mesh per packet)
+            t_pk, tri_pk, u_pk, v_pk = _tp.closest_hit_blockmajor_pallas(
+                flat.str_topf, flat.str_topl,
+                flat.str_subf, flat.str_subi, flat.str_subp, flat.str_subt,
+                flat.str_base, o, d, t_init,
+                leaf_k=static.wide_leaf_k,
+                sub_nodes=static.stream_sub_nodes,
+                sub_tris=static.stream_sub_tris,
+                p_nodes=knobs[0], q_leaves=knobs[1], rows=knobs[2],
+                interpret=interpret,
+            )
+        elif mode == "stream":
             t_pk, tri_pk, u_pk, v_pk = closest_hit_stream_pallas(
                 flat.str_topf, flat.str_topl, flat.str_topp,
                 flat.str_subf, flat.str_subi, flat.str_subp, flat.str_subt,

@@ -954,6 +954,261 @@ def closest_hit_stream_pallas(
     return flat(t), flat(tri), flat(u), flat(v)
 
 
+# ---------------------------------------------------------------------------
+# BLOCK-MAJOR streaming traversal.  tools/stream_union_sim.py (r5) measured
+# that from bounce 1 on, EVERY production-size packet reaches ~85-100% of
+# the subtree blocks no matter how lanes are permuted into packets (diffuse
+# bounce rays are intrinsically block-incoherent; the ideal reachable-set
+# clustering still leaves 80-96 of 113 blocks, and evolving-cap pruning
+# never fires).  The packet-major schedule above therefore re-streams
+# nearly the WHOLE mesh through the HBM->SMEM ring once per packet
+# (~200 MB/bounce for a 34 MB mesh at 65k rays; ~30x worse at 640k).
+# This schedule inverts the loops: a VMEM-resident chunk of rays
+# (chunk_rows x 128 lanes) stays put across grid steps while every block
+# is DMA'd exactly ONCE per chunk and each of the chunk's packets walks
+# it (skipped per packet when no lane reaches the block root under its
+# evolving cap — the same reach set the packet-major top walk produces,
+# see sim pt. 3).  DMA traffic drops by the packets-per-chunk factor at
+# identical walk work; results identical (the closest-hit min commutes
+# over block order).  The reference's HBM-wide stackless walk
+# (src/pathtrace.cu:236-279) has no such re-fetch cost because per-thread
+# global loads ride the GPU cache hierarchy; block-major is the TPU-
+# native equivalent of that cache.
+# ---------------------------------------------------------------------------
+
+STREAM_BLOCKMAJOR = True   # production default; False = packet-major (A/B)
+BLOCKMAJOR_CHUNK_ROWS = 512  # ray rows resident per chunk (512 rows = 64k
+# lanes ~ 2.8 MB of VMEM in-cols + 2 MB out-cols, double-buffer safe)
+
+
+def _make_blockmajor_closest_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
+                                    S: int, Tmax: int, n_sub: int,
+                                    pkts: int, rows: int,
+                                    n_buf: int = STREAM_BUFS):
+    """Grid = (num_chunks, n_sub), block dim innermost: ray chunk c stays
+    VMEM-resident while blocks stream through the SMEM ring exactly once
+    per chunk; each packet p of the chunk walks block b only if some lane
+    reaches its root AABB under the packet's current best_t."""
+    def kernel(
+        octs, tri_base_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
+        rootf_h, subf_h, subi_h, subp_h, subt_h,
+        t_ref_o, tri_ref_o, u_ref_o, v_ref_o,
+        lstack_ref, leafq_ref, rootf_s,
+        bwf_s, bwi_s, bwp_s, btri_v,
+        sem_root, sem_ring,
+    ):
+        c = pl.program_id(0)
+        b = pl.program_id(1)
+        g = c * n_sub + b
+        num_chunks = pl.num_programs(0)
+        G = num_chunks * n_sub
+
+        def start_dma(s_id, slot):
+            pltpu.make_async_copy(
+                subf_h.at[pl.ds(s_id * (S * 48), S * 48)],
+                bwf_s.at[pl.ds(slot * (S * 48), S * 48)],
+                sem_ring.at[slot, 0],
+            ).start()
+            pltpu.make_async_copy(
+                subi_h.at[pl.ds(s_id * (S * 24), S * 24)],
+                bwi_s.at[pl.ds(slot * (S * 24), S * 24)],
+                sem_ring.at[slot, 1],
+            ).start()
+            pltpu.make_async_copy(
+                subp_h.at[pl.ds(s_id * (S * 8), S * 8)],
+                bwp_s.at[pl.ds(slot * (S * 8), S * 8)],
+                sem_ring.at[slot, 2],
+            ).start()
+            pltpu.make_async_copy(
+                subt_h.at[pl.ds(s_id * (Tmax * 9), Tmax * 9)],
+                btri_v.at[pl.ds(slot * (Tmax * 9), Tmax * 9)],
+                sem_ring.at[slot, 3],
+            ).start()
+
+        def wait_dma(slot):
+            pltpu.make_async_copy(
+                subf_h.at[pl.ds(0, S * 48)], bwf_s.at[pl.ds(0, S * 48)],
+                sem_ring.at[slot, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                subi_h.at[pl.ds(0, S * 24)], bwi_s.at[pl.ds(0, S * 24)],
+                sem_ring.at[slot, 1],
+            ).wait()
+            pltpu.make_async_copy(
+                subp_h.at[pl.ds(0, S * 8)], bwp_s.at[pl.ds(0, S * 8)],
+                sem_ring.at[slot, 2],
+            ).wait()
+            pltpu.make_async_copy(
+                subt_h.at[pl.ds(0, Tmax * 9)], btri_v.at[pl.ds(0, Tmax * 9)],
+                sem_ring.at[slot, 3],
+            ).wait()
+
+        @pl.when(g == 0)
+        def _():
+            cp = pltpu.make_async_copy(rootf_h, rootf_s, sem_root.at[0])
+            cp.start()
+            cp.wait()
+            start_dma(0, 0)  # block 0 -> slot 0; waited below this step
+
+        # chunk init: caps seed the closest-t accumulators
+        @pl.when(b == 0)
+        def _():
+            t_ref_o.at[0][:] = t0_ref.at[0][:]
+            tri_ref_o.at[0][:] = jnp.full_like(tri_ref_o.at[0][:], -1)
+            u_ref_o.at[0][:] = jnp.zeros_like(u_ref_o.at[0][:])
+            v_ref_o.at[0][:] = jnp.zeros_like(v_ref_o.at[0][:])
+
+        # prefetch the NEXT grid step's block into the other ring slot
+        # (double buffer: that slot's previous walk finished last step)
+        @pl.when(g + 1 < G)
+        def _():
+            start_dma(
+                jax.lax.rem(b + 1, n_sub), jax.lax.rem(g + 1, n_buf)
+            )
+
+        slot = jax.lax.rem(g, n_buf)
+        wait_dma(slot)
+
+        nf = [rootf_s[b * 6 + k] for k in range(6)]
+        gbase = tri_base_ref[b]
+
+        def packet(p, _):
+            sl = pl.ds(p * rows, rows)
+            ox = ox_ref[0, sl]
+            oy = oy_ref[0, sl]
+            oz = oz_ref[0, sl]
+            dx = dx_ref[0, sl]
+            dy = dy_ref[0, sl]
+            dz = dz_ref[0, sl]
+            idx = 1.0 / dx
+            idy = 1.0 / dy
+            idz = 1.0 / dz
+            t_ref = t_ref_o.at[0, sl]
+            hit, t_enter = _aabb_packet(nf, ox, oy, oz, idx, idy, idz)
+
+            @pl.when(jnp.any(hit & (t_enter <= t_ref[:])))
+            def _():
+                _sub_walk_closest(
+                    leaf_k, p_nodes, q_leaves, S, Tmax,
+                    octs[c * pkts + p], gbase, slot,
+                    ox, oy, oz, dx, dy, dz, idx, idy, idz,
+                    bwf_s, bwi_s, bwp_s, btri_v,
+                    t_ref, tri_ref_o.at[0, sl], u_ref_o.at[0, sl],
+                    v_ref_o.at[0, sl], lstack_ref, leafq_ref,
+                )
+
+            return 0
+
+        jax.lax.fori_loop(0, pkts, packet, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "leaf_k", "sub_nodes", "sub_tris", "interpret", "p_nodes", "q_leaves",
+    "rows", "chunk_rows"))
+def closest_hit_blockmajor_pallas(
+    topf, topl, subf, subi, subp, subt, tri_base,
+    o, d, t_init, leaf_k: int, sub_nodes: int, sub_tris: int,
+    interpret: bool = False,
+    p_nodes: int = P_NODES, q_leaves: int = Q_LEAVES, rows: int = TILE_ROWS,
+    chunk_rows: int = BLOCKMAJOR_CHUNK_ROWS,
+):
+    """Block-major streaming closest-hit (same tables as
+    closest_hit_stream_pallas; the top tree contributes only the block
+    ROOT AABBs — reach filtering happens per packet per block, which the
+    r5 simulator showed is exactly the packet-major queue set)."""
+    n = o.shape[0]
+    S, Tmax = sub_nodes, sub_tris
+    n_sub = subf.shape[0] // (S * 48)
+    B = STREAM_BUFS
+
+    # block root boxes from the top tables: the child slot whose link is
+    # -(2+s) holds block s's bounds (accel/bvh.py StreamBVH layout)
+    T = topf.shape[0] // 48
+    tf = topf.reshape(T * 8, 6)
+    tl = topl.reshape(T * 8)
+    sid = jnp.where(tl < -1, -(tl + 2), n_sub)
+    rootf = (
+        jnp.full((n_sub + 1, 6), jnp.nan, jnp.float32)
+        .at[sid].set(tf)[:n_sub].reshape(-1)
+    )
+
+    tile = rows * TILE_LANES
+    pool_rows = -(-n // TILE_LANES)             # ceil lanes -> rows
+    pool_rows = -(-pool_rows // rows) * rows    # ceil to a tile multiple
+    crows = min(max(chunk_rows // rows * rows, rows), pool_rows)
+    chunk = crows * TILE_LANES
+    ox, _ = _pad_pool(o[:, 0], 0.0, chunk)
+    oy, _ = _pad_pool(o[:, 1], 0.0, chunk)
+    oz, _ = _pad_pool(o[:, 2], 0.0, chunk)
+    dx, _ = _pad_pool(d[:, 0], 1.0, chunk)
+    dy, _ = _pad_pool(d[:, 1], 1.0, chunk)
+    dz, _ = _pad_pool(d[:, 2], 1.0, chunk)
+    t0, _ = _pad_pool(t_init, -FLT_MAX, chunk)
+
+    num_chunks = ox.shape[0] // chunk
+    pkts = crows // rows
+    # per-packet octants from the PADDED columns (chunk padding can exceed
+    # one tile, so the unpadded (n, 3) d under-covers the tile starts)
+    octs = (
+        (dx[::tile] > 0).astype(jnp.int32)
+        + 2 * (dy[::tile] > 0).astype(jnp.int32)
+        + 4 * (dz[::tile] > 0).astype(jnp.int32)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # octs, tri_base
+        grid=(num_chunks, n_sub),
+        in_specs=[
+            *[
+                pl.BlockSpec((1, crows, TILE_LANES), lambda c, b, *_: (c, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(7)
+            ],
+            pl.BlockSpec(memory_space=pl.ANY),  # rootf
+            *[pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(4)],
+        ],
+        out_specs=[
+            pl.BlockSpec((1, crows, TILE_LANES), lambda c, b, *_: (c, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((S + 8 * P_NODES + 8,), jnp.int32),        # local stack
+            pltpu.SMEM((S * 8 + 8 * P_NODES + 8,), jnp.int32),    # local leafq
+            pltpu.SMEM((n_sub * 6,), jnp.float32),                # block roots
+            pltpu.SMEM((B * S * 48,), jnp.float32),               # ring bounds
+            pltpu.SMEM((B * S * 24,), jnp.int32),                 # ring ints
+            pltpu.SMEM((B * S * 8,), jnp.int32),                  # ring perms
+            pltpu.SMEM((B * Tmax * 9,), jnp.float32),             # ring tris
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((B, 4)),
+        ],
+    )
+    shape1 = jax.ShapeDtypeStruct((num_chunks, crows, TILE_LANES), jnp.float32)
+    shapei = jax.ShapeDtypeStruct((num_chunks, crows, TILE_LANES), jnp.int32)
+    kernel = _make_blockmajor_closest_kernel(
+        leaf_k, p_nodes, q_leaves, S, Tmax, n_sub, pkts, rows
+    )
+
+    t, tri, u, v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[shape1, shapei, shape1, shape1],
+        interpret=interpret,
+    )(
+        octs, tri_base,
+        _tiles(ox, crows), _tiles(oy, crows), _tiles(oz, crows),
+        _tiles(dx, crows), _tiles(dy, crows), _tiles(dz, crows),
+        _tiles(t0, crows),
+        rootf, subf, subi, subp, subt,
+    )
+    flat = lambda a: a.reshape(-1)[:n]
+    return flat(t), flat(tri), flat(u), flat(v)
+
+
 def _make_stream_occlusion_kernel(leaf_k: int, p_nodes: int, q_leaves: int,
                                   S: int, Tmax: int, n_buf: int = STREAM_BUFS):
     def kernel(

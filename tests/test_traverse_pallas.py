@@ -231,6 +231,58 @@ class TestStreamTraversal:
         )
         assert (np.asarray(tri) == -1).all()
 
+    def _closest_blockmajor(self, flat, static, o, d, t_init, chunk_rows=16):
+        from pathtracer_tpu.ops.traverse_pallas import (
+            closest_hit_blockmajor_pallas,
+        )
+
+        return closest_hit_blockmajor_pallas(
+            flat.str_topf, flat.str_topl,
+            flat.str_subf, flat.str_subi, flat.str_subp, flat.str_subt,
+            flat.str_base, o, d, t_init,
+            leaf_k=static.wide_leaf_k,
+            sub_nodes=static.stream_sub_nodes,
+            sub_tris=static.stream_sub_tris,
+            interpret=True,
+            chunk_rows=chunk_rows,
+        )
+
+    # chunk_rows=16 -> one packet per chunk, multiple chunks; 32 -> two
+    # packets share a chunk (the per-packet walk loop + the cross-chunk
+    # DMA ring handoff both get exercised)
+    @pytest.mark.parametrize("chunk_rows", [16, 32])
+    def test_blockmajor_matches_xla(self, stream_soup, chunk_rows):
+        flat, static = stream_soup
+        o, d = random_rays(4096, seed=31)
+        ref = closest_hit(flat, static, o, d)
+        t_init = jnp.full((4096,), FLT_MAX, jnp.float32)
+        t, tri, u, v = self._closest_blockmajor(
+            flat, static, o, d, t_init, chunk_rows=chunk_rows
+        )
+        np.testing.assert_array_equal(np.asarray(tri), np.asarray(ref.tri))
+        hits = np.asarray(ref.tri) >= 0
+        np.testing.assert_allclose(
+            np.asarray(t)[hits], np.asarray(ref.t)[hits], rtol=1e-5
+        )
+
+    def test_blockmajor_matches_packet_major(self, stream_soup):
+        """Same tables, same caps: the two schedules must agree exactly
+        (the closest-hit min commutes over block order)."""
+        flat, static = stream_soup
+        o, d = random_rays(2048, seed=35)
+        t_init = jnp.full((2048,), FLT_MAX, jnp.float32)
+        a = self._closest_stream(flat, static, o, d, t_init)
+        b = self._closest_blockmajor(flat, static, o, d, t_init)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_blockmajor_dead_sentinel_is_inert(self, stream_soup):
+        flat, static = stream_soup
+        o, d = random_rays(512, seed=32)
+        t_init = jnp.full((512,), DEAD_T, jnp.float32)
+        t, tri, u, v = self._closest_blockmajor(flat, static, o, d, t_init)
+        assert (np.asarray(tri) == -1).all()
+
     def test_occlusion_matches_xla(self, stream_soup):
         flat, static = stream_soup
         from pathtracer_tpu.ops.traverse_pallas import occlusion_stream_pallas
