@@ -39,6 +39,15 @@ def _add_common(p: argparse.ArgumentParser):
         help="shard pixel rows over N devices (jax.sharding.Mesh); the "
         "position-keyed RNG keeps the image bit-identical to 1 device",
     )
+    p.add_argument(
+        "--regen", type=int, default=0, metavar="K",
+        help="cross-iteration ray regeneration: render K samples/pixel "
+        "per persistent-pool dispatch, refilling dead lanes with "
+        "next-sample camera rays (same sample set; float-add order "
+        "within a pixel changes).  Big win on open analytic scenes "
+        "(mis_test +75%%, cornell BSDF +22%%); losses measured on "
+        "mesh/env/texture scenes — leave off there",
+    )
 
 
 def _parse_mode(s: str):
@@ -73,7 +82,8 @@ def cmd_render(args) -> int:
     _print_devices()
 
     opts = RenderOptions(
-        sample_mode=_parse_mode(args.mode), tonemapping=not args.no_tonemap
+        sample_mode=_parse_mode(args.mode), tonemapping=not args.no_tonemap,
+        ray_regen=max(args.regen, 0),
     )
     r = Renderer(
         args.scene,
@@ -144,7 +154,9 @@ def cmd_bench(args) -> int:
     from pathtracer_tpu.integrator.render import Renderer
     from pathtracer_tpu.utils.config import RenderOptions
 
-    opts = RenderOptions(sample_mode=_parse_mode(args.mode))
+    opts = RenderOptions(
+        sample_mode=_parse_mode(args.mode), ray_regen=max(args.regen, 0)
+    )
     r = Renderer(
         args.scene, opts=opts, resolution=_parse_res(args.res),
         trace_depth=args.depth, devices=args.devices,
