@@ -33,21 +33,35 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 _HERE = Path(__file__).resolve().parent
 
 # Headline first: even a 1-scene run records the metric of record.
+# The analytic scenes run with cross-iteration ray regeneration (r5,
+# RenderOptions.ray_regen — one-window ABAB A/Bs with identical traced-ray
+# counts: cornell MIS 157->194, cornell BSDF 97->118, dielectric 87->126,
+# mis_test 34->62; PARITY.md r5 section).  Mesh/env/texture scenes
+# measured regen-negative and stay classic.
 SCENES = [
-    # (name, path, mode, spp, depth_override)
-    ("cornell_mis", "/root/reference/scenes/cornell.txt", "mis", 32, None),
+    # (name, path, mode, spp, depth_override, opts_extra)
+    ("cornell_mis", "/root/reference/scenes/cornell.txt", "mis", 32, None,
+     {"ray_regen": 8}),
     # 48-spp window: at 32 spp the artifact of record logged 99.36 Mrays/s
     # vs 104.7 measured single-window (r4 VERDICT item 3) — the longer
     # window amortizes dispatch-drift so the recorded number matches the
     # steady state
-    ("cornell", "/root/reference/scenes/cornell.txt", "bsdf", 48, None),
-    ("glassbunny", str(_HERE / "scenes/glassbunny.txt"), "mis", 8, None),
+    ("cornell", "/root/reference/scenes/cornell.txt", "bsdf", 48, None,
+     {"ray_regen": 8}),
+    ("glassbunny", str(_HERE / "scenes/glassbunny.txt"), "mis", 8, None, {}),
     # short-iteration scenes need a >=12-spp window or the measurement is
     # dominated by dispatch pipeline fill (envbunny k-sweep r4: 22.1
     # Mrays/s at a 16-spp window vs 18.2 at 4-spp; k=2/4/8 flat, so the
     # fix is window length, not batching depth)
-    ("envbunny", str(_HERE / "scenes/envbunny.txt"), "mis", 12, None),
-    ("texturecube", str(_HERE / "scenes/texturecube.txt"), "mis", 16, None),
+    ("envbunny", str(_HERE / "scenes/envbunny.txt"), "mis", 12, None, {}),
+    ("texturecube", str(_HERE / "scenes/texturecube.txt"), "mis", 16, None,
+     {}),
+    # showcase rows (regen's biggest wins); the 60%-budget gate keeps them
+    # from ever endangering the five rows above
+    ("mis_test", "/root/reference/scenes/mis_test.txt", "mis", 24, None,
+     {"ray_regen": 8}),
+    ("dielectric", "/root/reference/scenes/dielectric_test.txt", "bsdf", 32,
+     None, {"ray_regen": 8}),
 ]
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
@@ -105,7 +119,7 @@ for _sig in _SIGS:
     signal.signal(_sig, _die)
 
 
-def bench_scene(name, path, mode, spp, depth):
+def bench_scene(name, path, mode, spp, depth, opts_extra=None):
     from pathtracer_tpu.integrator.render import Renderer
     from pathtracer_tpu.utils.config import RenderOptions, SampleMode
 
@@ -116,7 +130,7 @@ def bench_scene(name, path, mode, spp, depth):
     }
     r = Renderer(
         path,
-        opts=RenderOptions(sample_mode=mode_map[mode]),
+        opts=RenderOptions(sample_mode=mode_map[mode], **(opts_extra or {})),
         trace_depth=depth,
     )
     r.step(2)  # compile + warm
@@ -136,7 +150,7 @@ def bench_scene(name, path, mode, spp, depth):
 
 def main():
     signal.alarm(int(BUDGET_S))  # self-deadline inside any driver timeout
-    for name, path, mode, spp, depth in SCENES:
+    for name, path, mode, spp, depth, opts_extra in SCENES:
         if not Path(path).exists():
             continue
         elapsed = time.time() - _START
@@ -145,7 +159,8 @@ def main():
                   f"{BUDGET_S:.0f}s budget)", file=sys.stderr, flush=True)
             continue
         try:
-            _RESULTS.append(bench_scene(name, path, mode, spp, depth))
+            _RESULTS.append(bench_scene(name, path, mode, spp, depth,
+                                        opts_extra))
             print(f"# {_RESULTS[-1]}", file=sys.stderr, flush=True)
         except Exception as e:  # keep the headline line emitting
             print(f"# bench {name} failed: {type(e).__name__}: {e}",
