@@ -976,7 +976,16 @@ def closest_hit_stream_pallas(
 # native equivalent of that cache.
 # ---------------------------------------------------------------------------
 
-STREAM_BLOCKMAJOR = True   # production default; False = packet-major (A/B)
+STREAM_BLOCKMAJOR = False  # MEASURED OUT as default (tools/blockmajor_ab.py,
+# one-window ABAB real chip): bigbunny160k 7.05 vs 7.34 packet-major
+# (-4%), bigbunny640k 3.27 vs 3.57 (-8%).  Decisive negative for the
+# DMA-redundancy hypothesis: the ring hides ALL redundant block traffic
+# even at 313 packets x ~300 blocks (~28 GB/bounce re-streamed for a
+# 136 MB mesh) — the streaming path is WALK-bound (serial lap floor),
+# not DMA-bound, so eliminating re-fetch buys nothing and the chunk
+# bookkeeping (per-(packet, block) root tests + ring restarts at chunk
+# boundaries) costs 4-8%.  Kept behind this knob with full parity tests
+# as the documented alternative schedule.
 BLOCKMAJOR_CHUNK_ROWS = 512  # ray rows resident per chunk (512 rows = 64k
 # lanes ~ 2.8 MB of VMEM in-cols + 2 MB out-cols, double-buffer safe)
 
