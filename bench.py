@@ -35,19 +35,21 @@ _HERE = Path(__file__).resolve().parent
 # Headline first: even a 1-scene run records the metric of record.
 # The analytic scenes run with cross-iteration ray regeneration (r5,
 # RenderOptions.ray_regen — one-window ABAB A/Bs with identical traced-ray
-# counts: cornell MIS 157->194, cornell BSDF 97->118, dielectric 87->126,
-# mis_test 34->62; PARITY.md r5 section).  Mesh/env/texture scenes
-# measured regen-negative and stay classic.
+# counts: cornell MIS 157->194 (k=8) -> ~200 (k=16), cornell BSDF 97->118,
+# dielectric 87->126, mis_test 34->62; PARITY.md r5 section).  One
+# executable serves every k (the batch size is traced), so k=16 costs no
+# extra compile.  Mesh/env/texture scenes measured regen-negative and
+# stay classic.
 SCENES = [
     # (name, path, mode, spp, depth_override, opts_extra)
     ("cornell_mis", "/root/reference/scenes/cornell.txt", "mis", 32, None,
-     {"ray_regen": 8}),
+     {"ray_regen": 16}),
     # 48-spp window: at 32 spp the artifact of record logged 99.36 Mrays/s
     # vs 104.7 measured single-window (r4 VERDICT item 3) — the longer
     # window amortizes dispatch-drift so the recorded number matches the
     # steady state
     ("cornell", "/root/reference/scenes/cornell.txt", "bsdf", 48, None,
-     {"ray_regen": 8}),
+     {"ray_regen": 16}),
     ("glassbunny", str(_HERE / "scenes/glassbunny.txt"), "mis", 8, None, {}),
     # short-iteration scenes need a >=12-spp window or the measurement is
     # dominated by dispatch pipeline fill (envbunny k-sweep r4: 22.1
@@ -59,9 +61,9 @@ SCENES = [
     # showcase rows (regen's biggest wins); the 60%-budget gate keeps them
     # from ever endangering the five rows above
     ("mis_test", "/root/reference/scenes/mis_test.txt", "mis", 24, None,
-     {"ray_regen": 8}),
+     {"ray_regen": 16}),
     ("dielectric", "/root/reference/scenes/dielectric_test.txt", "bsdf", 32,
-     None, {"ray_regen": 8}),
+     None, {"ray_regen": 16}),
 ]
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))

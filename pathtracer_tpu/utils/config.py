@@ -107,9 +107,13 @@ class RenderOptions:
     # multi-operand sort, material/atlas/env taps) amortize over a
     # near-full-live pool instead of the 4-25% liveness tails.  Physics
     # exact (same (pixel, sample, bounce, stage) RNG streams; only
-    # float-add order changes).  0 = auto (scene-class policy in
-    # integrator/render.py), 1 = off.  Applies to the fused BSDF/MIS
-    # single-device path; DIRECT_LI / staged / sharded ignore it.
+    # float-add order changes — which is why it stays OPT-IN: the classic
+    # path keeps the bitwise checkpoint-resume invariant, regen's batch
+    # splits do not).  Measured k=8 on-chip: cornell MIS +23%, BSDF +22%,
+    # dielectric +45%, mis_test +75%; NEGATIVE on sorted mesh/env/texture
+    # pools (PARITY.md r5) — bench.py/CLI enable it per scene.  Applies
+    # to the fused BSDF/MIS single-device path; DIRECT_LI / staged /
+    # sharded ignore it.
     iters_per_dispatch: int = 0   # batch k iterations into one jit call
     # (k sequential bounce loops — NOT nested, so it avoids the rule-5
     # compile pathology).  The remote backend costs ~10-30 ms of dispatch
